@@ -1,0 +1,85 @@
+"""Frozen configuration dataclasses.
+
+The reference keeps all tuning as function arguments (SURVEY.md §5): matching
+``precision: [u8;3]`` (reference ``src/depth_image.rs:79``), ``zones`` (:162), slice
+ranges (:229), and hard-coded constants ``min_splits=16`` / ring ``max=255``
+(:102, :119). We keep that spirit — small frozen dataclasses passed explicitly, no
+global config files — and add the TPU-mesh knobs the reference has no analog for.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class SubdivisionConfig:
+    """disage-equivalent subdivision bounds (reference src/depth_image.rs:101-109).
+
+    ``max_splits`` defaults to ceil(log2(H*W)) at call time when None.
+    """
+
+    min_splits: int = 16
+    max_splits: Optional[int] = None
+
+    def resolved_max(self, height: int, width: int) -> int:
+        if self.max_splits is not None:
+            return self.max_splits
+        return int(math.ceil(math.log2(float(height * width))))
+
+
+@dataclasses.dataclass(frozen=True)
+class RingSearchConfig:
+    """Expanding ring-search bounds (reference src/helpers.rs:9-54).
+
+    ``max_radius`` mirrors the hard-coded ``max=255`` at src/depth_image.rs:119
+    (rings 0..max-1 inclusive).
+    """
+
+    max_radius: int = 255
+
+
+@dataclasses.dataclass(frozen=True)
+class MatchConfig:
+    """Dense stereo matcher (the fast path; SURVEY.md §7 step 4).
+
+    A rectified-stereo recast of the reference's brightness matching: cost volume
+    over ``num_disparities`` horizontal shifts, aggregated over a ``window`` box,
+    winner-take-all with optional subpixel refinement.
+    """
+
+    num_disparities: int = 64
+    window: int = 9
+    cost: str = "sad"  # "sad" | "ssd" | "census"
+    census_window: int = 7
+    subpixel: bool = True
+    # Left-right consistency check threshold in disparity units; None disables.
+    lr_threshold: Optional[float] = 1.0
+    # Uniqueness ratio check (best vs. second-best cost); None disables.
+    uniqueness: Optional[float] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class PyramidConfig:
+    """Coarse-to-fine hierarchy replacing disage's adaptive recursion
+    (SURVEY.md §2.1 C7 recast)."""
+
+    levels: int = 4
+    # Disparity search half-window around the upsampled coarse estimate, per level.
+    refine_radius: int = 4
+    coarsest_disparities: int = 32
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh shape for spatial tile sharding (greenfield; SURVEY.md §2.3)."""
+
+    # Axis names: data (batch), tile (image-row tiles).
+    data: int = 1
+    tile: int = 1
+    axis_names: Tuple[str, str] = ("data", "tile")
+
+
+DEFAULT_PRECISION: Tuple[int, int, int] = (255 // 7,) * 3  # Readme.md:14

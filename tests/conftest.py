@@ -1,0 +1,36 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip sharding logic (Mesh / shard_map / halo exchange) is exercised with
+XLA's fake-device trick (SURVEY.md §4): 8 host-platform devices in one process.
+Must set the flags before jax initializes.
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+ASSETS = "/root/reference/assets"
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def asset_pair():
+    """The reference's bundled 600x400 stereo-ish pair, decoded to RGB arrays."""
+    from stepth_tpu.core import io
+
+    main = io.open_rgb(os.path.join(ASSETS, "main.jpg"))
+    add = io.open_rgb(os.path.join(ASSETS, "additional.jpg"))
+    return main, add
