@@ -1,0 +1,197 @@
+"""Tile-sharded dense matching: ``shard_map`` over a device mesh with halo
+exchange via ``ppermute``.
+
+This is the spatial analog of sequence parallelism (SURVEY.md §5 "long-context"
+row): image rows are sharded over the mesh ``tile`` axis; window aggregation,
+census support, and the median filter need neighbor rows, which arrive as halos
+over ICI through ``lax.ppermute`` (ring-attention's communication pattern on 2-D
+tiles). Batch pairs shard over the ``data`` axis. Global reductions (the
+normalization max — reference src/depth_image.rs:124-129 — and brightness means,
+src/operations.rs) ride ``psum``/``pmax`` collectives.
+
+Seam exactness: cost contributions outside the real image are zeroed before
+aggregation (matching the zero-pad clipping in
+:func:`stepth_tpu.match.dense.box_aggregate`), and intensity halos at the true
+image edges are edge-replicated (matching the unsharded ``pad(mode="edge")``
+census/median semantics), so tiled output == untiled output bit-for-bit; tested
+in tests/test_parallel.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from stepth_tpu.config import MatchConfig
+from stepth_tpu.match import dense
+
+
+def required_halo(cfg: MatchConfig) -> int:
+    """Rows of neighbor context one tile needs: box window radius + census
+    support radius (census only) + 1 for the 3×3 median."""
+    r = cfg.window // 2
+    if cfg.cost == "census":
+        r += cfg.census_window // 2
+    return r + 1
+
+
+def halo_exchange_rows(x: jax.Array, halo: int, axis_name: str, edge: str = "zero"):
+    """Return ``(top, bottom)`` halo slabs ([halo, ...]) received from the row
+    neighbors along ``axis_name``. The first/last shards have no neighbor:
+    ``edge="zero"`` leaves zeros, ``edge="replicate"`` repeats the shard's own
+    boundary row (the unsharded ``pad(mode="edge")`` semantics)."""
+    n = lax.psum(1, axis_name)
+    idx = lax.axis_index(axis_name)
+    down = [(i, i + 1) for i in range(n - 1)]  # data flows toward larger idx
+    up = [(i + 1, i) for i in range(n - 1)]
+    top = lax.ppermute(x[-halo:], axis_name, down)  # my bottom rows → next's top
+    bot = lax.ppermute(x[:halo], axis_name, up)  # my top rows → prev's bottom
+    if edge == "replicate":
+        top = jnp.where((idx == 0), jnp.broadcast_to(x[:1], x[:1].shape).repeat(halo, 0), top)
+        bot = jnp.where((idx == n - 1), jnp.broadcast_to(x[-1:], x[-1:].shape).repeat(halo, 0), bot)
+    return top, bot
+
+
+def _with_halo(x, halo, axis_name, edge):
+    top, bot = halo_exchange_rows(x, halo, axis_name, edge)
+    return jnp.concatenate([top, x, bot], axis=0)
+
+
+def _match_tile(l_blk, r_blk, cfg: MatchConfig, halo: int, h_total: int, axis_name: str):
+    """Per-shard dense match on a row tile extended by ``halo`` rows each side.
+
+    ``l_blk``/``r_blk``: f32[th, W(,C)] local gray/rgb rows."""
+    th = l_blk.shape[0]
+    idx = lax.axis_index(axis_name)
+    row0 = idx * th  # global index of local row 0
+
+    l_ext = _with_halo(l_blk, halo, axis_name, edge="replicate")
+    r_ext = _with_halo(r_blk, halo, axis_name, edge="replicate")
+
+    lg = dense.grayscale(l_ext)
+    rg = dense.grayscale(r_ext)
+    vol = dense.cost_volume(lg, rg, cfg)  # [th+2h, W, D]
+
+    # zero out cost rows outside the real image so box sums match the
+    # unsharded zero-pad clipping exactly
+    gidx = row0 - halo + jnp.arange(th + 2 * halo)
+    in_img = (gidx >= 0) & (gidx < h_total)
+    vol = vol * in_img[:, None, None].astype(vol.dtype)
+
+    agg_ext = dense.box_aggregate(vol, cfg.window)
+    agg = agg_ext[halo : halo + th]
+
+    disp, valid, cbest = dense.wta(agg, cfg.subpixel, cfg.uniqueness)
+    if cfg.lr_threshold is not None:
+        disp_r = dense.right_disparity_from_volume(agg)
+        valid = valid & dense.lr_consistency(disp, disp_r, cfg.lr_threshold)
+    disp = dense.fill_invalid(disp, valid)
+
+    # median needs 1 row of disparity halo with edge semantics at real borders
+    d_ext = _with_halo(disp, 1, axis_name, edge="replicate")
+    disp = dense.median3(d_ext)[1 : 1 + th]
+    return disp, valid, cbest
+
+
+@partial(jax.jit, static_argnames=("cfg", "mesh", "halo"))
+def match_pair_sharded(
+    left,
+    right,
+    cfg: MatchConfig = MatchConfig(),
+    mesh: Optional[Mesh] = None,
+    halo: Optional[int] = None,
+) -> dense.MatchResult:
+    """Row-tile-sharded dense match of one rectified pair over ``mesh``'s
+    ``tile`` axis. Bit-identical to :func:`stepth_tpu.match.dense.match_pair`
+    (seam test in tests/test_parallel.py)."""
+    if mesh is None:
+        from stepth_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+    if halo is None:
+        halo = required_halo(cfg)
+    left = jnp.asarray(left, jnp.float32)
+    right = jnp.asarray(right, jnp.float32)
+    h = left.shape[0]
+    ntile = mesh.shape["tile"]
+    if h % ntile != 0:
+        raise ValueError(f"H={h} not divisible by tile axis {ntile}")
+    if h // ntile < halo:
+        raise ValueError(f"tile height {h // ntile} < halo {halo}")
+
+    spec = P("tile", None) if left.ndim == 2 else P("tile", None, None)
+    fn = shard_map(
+        partial(_match_tile, cfg=cfg, halo=halo, h_total=h, axis_name="tile"),
+        mesh=mesh,
+        in_specs=(spec, spec),
+        out_specs=(P("tile", None), P("tile", None), P("tile", None)),
+    )
+    disp, valid, cbest = fn(left, right)
+    return dense.MatchResult(disparity=disp, valid=valid, cost=cbest)
+
+
+@partial(jax.jit, static_argnames=("cfg", "mesh", "halo"))
+def match_batch_sharded(
+    lefts,
+    rights,
+    cfg: MatchConfig = MatchConfig(),
+    mesh: Optional[Mesh] = None,
+    halo: Optional[int] = None,
+):
+    """Batched pairs: batch shards over ``data``, rows over ``tile``.
+    Returns disparity f32[B, H, W]."""
+    if mesh is None:
+        from stepth_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+    if halo is None:
+        halo = required_halo(cfg)
+    lefts = jnp.asarray(lefts, jnp.float32)
+    rights = jnp.asarray(rights, jnp.float32)
+    b, h = lefts.shape[0], lefts.shape[1]
+    nd, nt = mesh.shape["data"], mesh.shape["tile"]
+    if b % nd != 0:
+        raise ValueError(f"B={b} not divisible by data axis {nd}")
+    if h % nt != 0:
+        raise ValueError(f"H={h} not divisible by tile axis {nt}")
+
+    def per_pair(l, r):
+        d, _, _ = _match_tile(l, r, cfg=cfg, halo=halo, h_total=h, axis_name="tile")
+        return d
+
+    spec = P("data", "tile", None) if lefts.ndim == 3 else P("data", "tile", None, None)
+    fn = shard_map(
+        lambda ls, rs: jax.vmap(per_pair)(ls, rs),
+        mesh=mesh,
+        in_specs=(spec, spec),
+        out_specs=P("data", "tile", None),
+    )
+    return fn(lefts, rights)
+
+
+@partial(jax.jit, static_argnames=("mesh",))
+def normalize_depth_sharded(raw_depth, mesh: Optional[Mesh] = None):
+    """Global max-normalization of a sharded raw depth map — the reference's
+    HOT LOOP 3 (src/depth_image.rs:124-129) as a ``pmax`` collective + local
+    scale. Quirk Q3 guarded: all-zero input yields all-zero output."""
+    if mesh is None:
+        from stepth_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+    raw_depth = jnp.asarray(raw_depth)
+
+    def f(blk):
+        m = lax.pmax(jnp.max(blk.astype(jnp.int32)), "tile")
+        return jnp.where(
+            m > 0, (blk.astype(jnp.int32) * 255) // jnp.maximum(m, 1), 0
+        ).astype(jnp.uint8)
+
+    return shard_map(
+        f, mesh=mesh, in_specs=P("tile", None), out_specs=P("tile", None)
+    )(raw_depth)

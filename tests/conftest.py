@@ -15,6 +15,13 @@ if "xla_force_host_platform_device_count" not in flags:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax  # noqa: E402
+
+# The axon sitecustomize pins JAX_PLATFORMS=axon (the tunneled TPU); the env var
+# alone doesn't win, but the config update does. Tests always run on the
+# 8-fake-device CPU backend.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,0 +1,80 @@
+"""Sharded matching tests on the virtual 8-device CPU mesh (conftest sets
+--xla_force_host_platform_device_count=8): seam exactness (tiled == untiled),
+batch sharding, and the collective depth normalization."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from stepth_tpu.config import MatchConfig
+from stepth_tpu.match import dense
+from stepth_tpu.parallel import mesh as mesh_mod
+from stepth_tpu.parallel import sharded
+
+from tests.test_match_dense import make_pair
+
+
+def test_eight_fake_devices():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("cost", ["sad", "census"])
+def test_tiled_equals_untiled(rng, cost):
+    left, right = make_pair(rng, h=64, w=96, shift=5)
+    cfg = MatchConfig(num_disparities=16, window=9, cost=cost)
+    m = mesh_mod.make_mesh(data=1, tile=4)
+    ref = dense.match_pair(left, right, cfg)
+    got = sharded.match_pair_sharded(left, right, cfg, m)
+    np.testing.assert_array_equal(np.asarray(ref.valid), np.asarray(got.valid))
+    np.testing.assert_allclose(
+        np.asarray(ref.disparity), np.asarray(got.disparity), atol=1e-5
+    )
+
+
+def test_tiled_equals_untiled_8way(rng):
+    left, right = make_pair(rng, h=128, w=64, shift=3)
+    cfg = MatchConfig(num_disparities=8, window=5)
+    m = mesh_mod.make_mesh(data=1, tile=8)
+    ref = dense.match_pair(left, right, cfg)
+    got = sharded.match_pair_sharded(left, right, cfg, m)
+    np.testing.assert_allclose(
+        np.asarray(ref.disparity), np.asarray(got.disparity), atol=1e-5
+    )
+
+
+def test_batch_sharded_matches_single(rng):
+    cfg = MatchConfig(num_disparities=16, window=9)
+    pairs = [make_pair(rng, h=64, w=96, shift=s) for s in (3, 5, 7, 9)]
+    lefts = np.stack([p[0] for p in pairs])
+    rights = np.stack([p[1] for p in pairs])
+    m = mesh_mod.make_mesh(data=4, tile=2)
+    disp = np.asarray(sharded.match_batch_sharded(lefts, rights, cfg, m))
+    assert disp.shape == lefts.shape
+    for i, (l, r) in enumerate(pairs):
+        ref = dense.match_pair(l, r, cfg)
+        np.testing.assert_allclose(disp[i], np.asarray(ref.disparity), atol=1e-5)
+
+
+def test_normalize_depth_sharded_matches_reference_rule(rng):
+    m = mesh_mod.make_mesh(data=1, tile=8)
+    raw = rng.integers(0, 200, size=(64, 32)).astype(np.uint8)
+    got = np.asarray(sharded.normalize_depth_sharded(raw, m))
+    mx = int(raw.max())
+    want = (raw.astype(np.int64) * 255 // mx).astype(np.uint8)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_normalize_depth_sharded_zero_guard():
+    m = mesh_mod.make_mesh(data=1, tile=8)
+    raw = np.zeros((64, 32), dtype=np.uint8)
+    got = np.asarray(sharded.normalize_depth_sharded(raw, m))
+    assert (got == 0).all()
+
+
+def test_halo_validation_errors(rng):
+    left, right = make_pair(rng, h=32, w=96, shift=5)
+    m = mesh_mod.make_mesh(data=1, tile=8)  # tile height 4 < halo 8
+    cfg = MatchConfig(num_disparities=16, window=9, cost="census")
+    with pytest.raises(ValueError):
+        sharded.match_pair_sharded(left, right, cfg, m)
