@@ -1,0 +1,174 @@
+"""Benchmark harness. Prints ONE JSON line:
+
+    {"metric": "stereo frames/s/chip at 1080p", "value": N,
+     "unit": "frames/s", "vs_baseline": R}
+
+``value`` is the hierarchical dense matcher's steady-state frames/s on one
+chip at 1080p (config 3 of BASELINE.md). ``vs_baseline`` is the speedup over a
+single-threaded NumPy CPU implementation of the *same* hierarchical pipeline —
+the stand-in for the reference's Rust CPU baseline (BASELINE.md §Targets; no
+Rust toolchain in this environment).
+
+Extra configs (VGA dense, bundled-asset parity path) are reported on stderr so
+stdout stays a single JSON line for the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+H, W = 1088, 1920  # 1080p rounded to /32 for clean pyramid levels
+
+
+def make_pair(h, w, shift=24, seed=0):
+    rng = np.random.default_rng(seed)
+    tex = rng.uniform(0, 255, size=(h, w + shift)).astype(np.float32)
+    k = np.ones(9, np.float32) / 9
+    tex = np.apply_along_axis(lambda m: np.convolve(m, k, mode="same"), 1, tex)
+    tex = np.apply_along_axis(lambda m: np.convolve(m, k, mode="same"), 0, tex)
+    return tex[:, :w], tex[:, shift : shift + w]
+
+
+# ----------------------------------------------------------------------------
+# NumPy CPU twin of the hierarchical matcher (baseline stand-in)
+# ----------------------------------------------------------------------------
+
+def _np_boxsum(x, window):
+    if window <= 1:
+        return x
+    r = window // 2
+    out = x.astype(np.float32)
+    for axis in (0, 1):
+        n = out.shape[axis]
+        ii = np.cumsum(out, axis=axis)
+        pad = [(0, 0)] * out.ndim
+        pad[axis] = (1, 0)
+        ii = np.pad(ii, pad)
+        idx = np.arange(n)
+        hi = np.minimum(idx + r + 1, n)
+        lo = np.maximum(idx - r, 0)
+        out = np.take(ii, hi, axis=axis) - np.take(ii, lo, axis=axis)
+    return out
+
+
+def _np_dense(left, right, num_disp, window):
+    h, w = left.shape
+    vol = np.empty((h, w, num_disp), np.float32)
+    padded = np.pad(right, ((0, 0), (num_disp - 1, 0)), mode="edge")
+    for d in range(num_disp):
+        rs = padded[:, num_disp - 1 - d : num_disp - 1 - d + w]
+        vol[:, :, d] = np.abs(left - rs)
+    agg = _np_boxsum(vol, window)
+    return np.argmin(agg, axis=-1).astype(np.float32)
+
+
+def _np_refine(left, right, prior, radius, window):
+    h, w = left.shape
+    base = np.round(prior).astype(np.int64)
+    offs = np.arange(-radius, radius + 1)
+    x = np.arange(w)[None, :]
+    xs = x[..., None] - (base[..., None] + offs[None, None, :])
+    inb = (xs >= 0) & (xs < w)
+    xs = np.clip(xs, 0, w - 1)
+    samp = right[np.arange(h)[:, None, None], xs]  # gather (h, w, 2r+1)
+    cost = np.abs(left[..., None] - samp)
+    cost[~inb] = 1e6
+    agg = _np_boxsum(cost, window)
+    best = np.argmin(agg, axis=-1)
+    return np.clip(base + (best - radius), 0, w - 1).astype(np.float32)
+
+
+def numpy_hierarchical(left, right, levels=4, coarsest_disp=16, radius=4, window=9):
+    lefts, rights = [left], [right]
+    for _ in range(levels - 1):
+        l, r = lefts[-1], rights[-1]
+        h2, w2 = l.shape[0] // 2, l.shape[1] // 2
+        lefts.append(l[: h2 * 2, : w2 * 2].reshape(h2, 2, w2, 2).mean(axis=(1, 3)))
+        rights.append(r[: h2 * 2, : w2 * 2].reshape(h2, 2, w2, 2).mean(axis=(1, 3)))
+    disp = _np_dense(lefts[-1], rights[-1], coarsest_disp, window)
+    for lvl in range(levels - 2, -1, -1):
+        h, w = lefts[lvl].shape
+        prior = np.repeat(np.repeat(disp, 2, 0), 2, 1)[:h, :w] * 2.0
+        disp = _np_refine(lefts[lvl], rights[lvl], prior, radius, window)
+    return disp
+
+
+# ----------------------------------------------------------------------------
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from stepth_tpu.config import MatchConfig, PyramidConfig
+    from stepth_tpu.match import pyramid
+
+    left_np, right_np = make_pair(H, W)
+    cfg = MatchConfig(num_disparities=128, window=9, cost="sad", lr_threshold=None)
+    pyr = PyramidConfig(levels=4, refine_radius=4, coarsest_disparities=16)
+
+    left = jnp.asarray(left_np)
+    right = jnp.asarray(right_np)
+
+    # Chain iterations through a data dependency (the tunneled device completes
+    # block_until_ready before execution finishes, so naive per-call timing
+    # under-counts; a dependent chain + one readback measures real device time,
+    # and the two-point difference removes the fixed round-trip overhead).
+    def step(l, r):
+        d = pyramid.match_hierarchical(l, r, cfg, pyr).disparity
+        return l + d[:1, :1] * 1e-6, d
+
+    fn = jax.jit(step)
+
+    t0 = time.perf_counter()
+    l1, out = fn(left, right)
+    _ = float(jnp.sum(out[:1, :8]))
+    compile_s = time.perf_counter() - t0
+    print(f"[bench] compile+first-step: {compile_s:.1f}s on {jax.devices()[0]}", file=sys.stderr)
+
+    def chain(n):
+        l = left
+        t0 = time.perf_counter()
+        for _ in range(n):
+            l, out = fn(l, right)
+        _ = float(jnp.sum(out[:1, :8]))
+        return time.perf_counter() - t0, out
+
+    chain(3)  # warm
+    n1, n2 = 10, 50
+    t1, _ = chain(n1)
+    t2, out = chain(n2)
+    per_frame = max((t2 - t1) / (n2 - n1), 1e-9)
+    fps = 1.0 / per_frame
+    print(f"[bench] tpu 1080p hierarchical: {fps:.2f} frames/s ({per_frame*1e3:.3f} ms/frame)", file=sys.stderr)
+
+    # CPU baseline stand-in: same pipeline, single-threaded NumPy
+    t0 = time.perf_counter()
+    disp_np = numpy_hierarchical(left_np, right_np)
+    cpu_dt = time.perf_counter() - t0
+    cpu_fps = 1.0 / cpu_dt
+    print(f"[bench] numpy-cpu baseline: {cpu_fps:.3f} frames/s", file=sys.stderr)
+
+    # sanity: both recover the synthetic shift in the interior
+    tpu_med = float(np.median(np.asarray(out)[50:-50, 100:-100]))
+    np_med = float(np.median(disp_np[50:-50, 100:-100]))
+    print(f"[bench] median disparity tpu={tpu_med:.2f} numpy={np_med:.2f} want=24", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "stereo frames/s/chip at 1080p",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / cpu_fps, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

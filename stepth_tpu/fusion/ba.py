@@ -1,0 +1,278 @@
+"""Distributed Schur-complement bundle adjustment.
+
+Greenfield subsystem (BASELINE.md config 5; the reference has no multi-frame
+machinery). Levenberg–Marquardt over camera poses [C,6] and world points [P,3]
+with reprojection residuals, solved each step by **implicit-Schur CG**:
+
+* Jacobian blocks per observation: A = ∂r/∂pose [N,2,6], B = ∂r/∂point [N,2,3]
+  (via ``jax.jacfwd`` on the single-observation residual, vmapped — no
+  hand-derived Jacobians to get wrong).
+* Hessian blocks by segment-sum: U_c = Σ AᵀA, V_p = Σ BᵀB, per-obs W = AᵀB.
+* The reduced camera system S·x = b (S = U − W V⁻¹ Wᵀ) is solved by CG where
+  each S·x application is two segment-sums and small einsums — S is never
+  materialized, so cost is O(N) per CG iteration and maps onto TPU vector
+  units.
+* **Distribution**: observations shard over the mesh ``data`` axis
+  (shard_map); U, V, b and every CG matvec's partial segment-sums are combined
+  with ``psum`` — poses/points replicate. This is the standard dominant-cost
+  split: N ≫ C, P.
+
+All shapes static; invalid observation slots are masked by weight 0, so
+variable-size problems pad to a fixed N.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from stepth_tpu.fusion import geometry
+
+
+class BAProblem(NamedTuple):
+    """A fixed-size bundle-adjustment problem (pad + mask to resize)."""
+
+    poses: jax.Array  # f32[C, 6] se3 world→camera
+    points: jax.Array  # f32[P, 3]
+    intrinsics: jax.Array  # f32[4] shared (fx, fy, cx, cy)
+    cam_idx: jax.Array  # i32[N]
+    pt_idx: jax.Array  # i32[N]
+    uv: jax.Array  # f32[N, 2] observed pixels
+    weight: jax.Array  # f32[N] (0 masks a padded slot)
+
+
+class BAState(NamedTuple):
+    poses: jax.Array
+    points: jax.Array
+    cost: jax.Array  # scalar mean squared reprojection error (weighted)
+    lm_lambda: jax.Array
+
+
+def _residual_one(pose, point, intr, uv):
+    return geometry.project(geometry.transform(pose, point), intr) - uv
+
+
+def residuals(problem: BAProblem, poses, points) -> jax.Array:
+    """Weighted reprojection residuals f32[N, 2]."""
+    r = jax.vmap(_residual_one, in_axes=(0, 0, None, 0))(
+        poses[problem.cam_idx], points[problem.pt_idx], problem.intrinsics, problem.uv
+    )
+    return r * problem.weight[:, None]
+
+
+def _jacobian_blocks(problem: BAProblem, poses, points):
+    """Per-observation A [N,2,6], B [N,2,3], r [N,2] (weighted)."""
+
+    def one(pose, point, uv, wgt):
+        r = _residual_one(pose, point, problem.intrinsics, uv)
+        A = jax.jacfwd(lambda p: _residual_one(p, point, problem.intrinsics, uv))(pose)
+        B = jax.jacfwd(lambda x: _residual_one(pose, x, problem.intrinsics, uv))(point)
+        return r * wgt, A * wgt, B * wgt
+
+    return jax.vmap(one)(
+        poses[problem.cam_idx], points[problem.pt_idx], problem.uv, problem.weight
+    )
+
+
+def _schur_solve(problem, A, B, r, lm_lambda, cg_iters, axis_name: Optional[str]):
+    """One LM step via implicit-Schur CG. Returns (dpose [C,6], dpoint [P,3]).
+
+    With ``axis_name``, every segment-sum reduction is followed by a psum so the
+    result is correct when observations are sharded along that axis.
+    """
+    C = problem.poses.shape[0]
+    Pn = problem.points.shape[0]
+    ci, pi = problem.cam_idx, problem.pt_idx
+
+    def allsum(x):
+        return lax.psum(x, axis_name) if axis_name else x
+
+    # Hessian blocks
+    U = allsum(
+        jax.ops.segment_sum(jnp.einsum("nki,nkj->nij", A, A), ci, num_segments=C)
+    )  # [C,6,6]
+    V = allsum(
+        jax.ops.segment_sum(jnp.einsum("nki,nkj->nij", B, B), pi, num_segments=Pn)
+    )  # [P,3,3]
+    W = jnp.einsum("nki,nkj->nij", A, B)  # [N,6,3] stays local
+
+    # gradient
+    g_c = allsum(jax.ops.segment_sum(jnp.einsum("nki,nk->ni", A, r), ci, num_segments=C))
+    g_p = allsum(jax.ops.segment_sum(jnp.einsum("nki,nk->ni", B, r), pi, num_segments=Pn))
+
+    # LM damping (additive, Marquardt-style on the diagonal)
+    eye6 = jnp.eye(6, dtype=U.dtype)
+    eye3 = jnp.eye(3, dtype=V.dtype)
+    U_d = U + lm_lambda * eye6
+    V_d = V + lm_lambda * eye3
+    V_inv = jnp.linalg.inv(V_d)  # [P,3,3] tiny batched inverses
+
+    # Schur RHS: b = -g_c + W V⁻¹ g_p
+    Vg = jnp.einsum("pij,pj->pi", V_inv, g_p)
+    b = -g_c + allsum(
+        jax.ops.segment_sum(jnp.einsum("nij,nj->ni", W, Vg[pi]), ci, num_segments=C)
+    )
+
+    def S_apply(x):  # x [C,6] → S x [C,6]
+        Ux = jnp.einsum("cij,cj->ci", U_d, x)
+        Wx_p = allsum(
+            jax.ops.segment_sum(
+                jnp.einsum("nij,ni->nj", W, x[ci]), pi, num_segments=Pn
+            )
+        )  # [P,3] = Σ Wᵀ x over each point's obs
+        z = jnp.einsum("pij,pj->pi", V_inv, Wx_p)
+        WVz = allsum(
+            jax.ops.segment_sum(jnp.einsum("nij,nj->ni", W, z[pi]), ci, num_segments=C)
+        )
+        return Ux - WVz
+
+    # block-Jacobi preconditioner M⁻¹ = diag(U_d)⁻¹
+    M_inv = jnp.linalg.inv(U_d)
+
+    def precond(x):
+        return jnp.einsum("cij,cj->ci", M_inv, x)
+
+    # CG on S x = b
+    x0 = jnp.zeros_like(b)
+    r0 = b - S_apply(x0)
+    z0 = precond(r0)
+
+    def cg_body(i, state):
+        x, rr, z, p, rz = state
+        Sp = S_apply(p)
+        denom = jnp.sum(p * Sp)
+        alpha = rz / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+        x = x + alpha * p
+        rr = rr - alpha * Sp
+        z = precond(rr)
+        rz_new = jnp.sum(rr * z)
+        beta = rz_new / jnp.where(jnp.abs(rz) < 1e-12, 1e-12, rz)
+        p = z + beta * p
+        return x, rr, z, p, rz_new
+
+    x, *_ = lax.fori_loop(0, cg_iters, cg_body, (x0, r0, z0, z0, jnp.sum(r0 * z0)))
+    dpose = x
+
+    # back-substitute points: Δp = V⁻¹(−g_p − Wᵀ Δc)
+    Wt_dc = allsum(
+        jax.ops.segment_sum(
+            jnp.einsum("nij,ni->nj", W, dpose[ci]), pi, num_segments=Pn
+        )
+    )
+    dpoint = jnp.einsum("pij,pj->pi", V_inv, -g_p - Wt_dc)
+    return dpose, dpoint
+
+
+def _cost(problem, poses, points):
+    r = residuals(problem, poses, points)
+    wsum = jnp.maximum(jnp.sum(problem.weight), 1.0)
+    return jnp.sum(r * r) / wsum
+
+
+@partial(jax.jit, static_argnames=("iters", "cg_iters", "fix_first_cam"))
+def solve(
+    problem: BAProblem,
+    iters: int = 10,
+    cg_iters: int = 10,
+    lm_lambda0: float = 1e-3,
+    fix_first_cam: bool = True,
+) -> BAState:
+    """Levenberg–Marquardt loop (single device). Gauge freedom is fixed by
+    freezing camera 0 when ``fix_first_cam``."""
+
+    def lm_body(i, state):
+        poses, points, lm, _ = state
+        r, A, B = _jacobian_blocks(problem, poses, points)
+        if fix_first_cam:
+            A = A * (problem.cam_idx != 0).astype(A.dtype)[:, None, None]
+        dpose, dpoint = _schur_solve(problem, A, B, r, lm, cg_iters, None)
+        if fix_first_cam:
+            dpose = dpose.at[0].set(0.0)
+        new_poses = poses + dpose
+        new_points = points + dpoint
+        c_old = _cost(problem, poses, points)
+        c_new = _cost(problem, new_poses, new_points)
+        accept = c_new < c_old
+        lm = jnp.where(accept, jnp.maximum(lm * 0.5, 1e-7), jnp.minimum(lm * 4.0, 1e3))
+        poses = jnp.where(accept, new_poses, poses)
+        points = jnp.where(accept, new_points, points)
+        return poses, points, lm, jnp.where(accept, c_new, c_old)
+
+    init = (
+        problem.poses,
+        problem.points,
+        jnp.float32(lm_lambda0),
+        _cost(problem, problem.poses, problem.points),
+    )
+    poses, points, lm, cost = lax.fori_loop(0, iters, lm_body, init)
+    return BAState(poses=poses, points=points, cost=cost, lm_lambda=lm)
+
+
+@partial(jax.jit, static_argnames=("mesh", "iters", "cg_iters", "fix_first_cam"))
+def solve_sharded(
+    problem: BAProblem,
+    mesh: Mesh,
+    iters: int = 10,
+    cg_iters: int = 10,
+    lm_lambda0: float = 1e-3,
+    fix_first_cam: bool = True,
+) -> BAState:
+    """Distributed LM: observations shard over the mesh ``data`` axis; poses and
+    points replicate; every reduction is a ``psum`` collective. Identical math
+    to :func:`solve` (tested equal on the fake-device mesh)."""
+    n = problem.uv.shape[0]
+    ndata = mesh.shape["data"]
+    if n % ndata != 0:
+        raise ValueError(f"N={n} observations not divisible by data axis {ndata}")
+
+    obs_spec = P("data")
+    in_specs = BAProblem(
+        poses=P(), points=P(), intrinsics=P(),
+        cam_idx=obs_spec, pt_idx=obs_spec, uv=P("data", None), weight=obs_spec,
+    )
+
+    def shard_fn(prob: BAProblem):
+        def lm_body(i, state):
+            poses, points, lm, _ = state
+            r, A, B = _jacobian_blocks(prob, poses, points)
+            if fix_first_cam:
+                A = A * (prob.cam_idx != 0).astype(A.dtype)[:, None, None]
+            dpose, dpoint = _schur_solve(prob, A, B, r, lm, cg_iters, "data")
+            if fix_first_cam:
+                dpose = dpose.at[0].set(0.0)
+            new_poses = poses + dpose
+            new_points = points + dpoint
+
+            def cost_of(ps, xs):
+                rr = residuals(prob, ps, xs)
+                s = lax.psum(jnp.sum(rr * rr), "data")
+                w = lax.psum(jnp.sum(prob.weight), "data")
+                return s / jnp.maximum(w, 1.0)
+
+            c_old = cost_of(poses, points)
+            c_new = cost_of(new_poses, new_points)
+            accept = c_new < c_old
+            lm = jnp.where(accept, jnp.maximum(lm * 0.5, 1e-7), jnp.minimum(lm * 4.0, 1e3))
+            poses = jnp.where(accept, new_poses, poses)
+            points = jnp.where(accept, new_points, points)
+            return poses, points, lm, jnp.where(accept, c_new, c_old)
+
+        def cost0():
+            rr = residuals(prob, prob.poses, prob.points)
+            s = lax.psum(jnp.sum(rr * rr), "data")
+            w = lax.psum(jnp.sum(prob.weight), "data")
+            return s / jnp.maximum(w, 1.0)
+
+        init = (prob.poses, prob.points, jnp.float32(lm_lambda0), cost0())
+        poses, points, lm, cost = lax.fori_loop(0, iters, lm_body, init)
+        return BAState(poses=poses, points=points, cost=cost, lm_lambda=lm)
+
+    out_specs = BAState(poses=P(), points=P(), cost=P(), lm_lambda=P())
+    fn = shard_map(shard_fn, mesh=mesh, in_specs=(in_specs,), out_specs=out_specs)
+    return fn(problem)

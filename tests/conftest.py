@@ -28,8 +28,10 @@ import pytest  # noqa: E402
 ASSETS = "/root/reference/assets"
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped: every test sees the same deterministic stream regardless
+    # of which other tests ran (selection/order independence)
     return np.random.default_rng(0)
 
 

@@ -1,0 +1,106 @@
+"""Bundle-adjustment tests: synthetic multi-view problems with known ground
+truth; single-device LM-Schur-CG convergence and sharded == unsharded."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from stepth_tpu.fusion import ba, geometry as geo
+from stepth_tpu.parallel import mesh as mesh_mod
+
+
+def make_problem(rng, n_cams=4, n_pts=60, noise=0.0, perturb=0.05):
+    """Cameras on an arc looking at a point cloud near the origin."""
+    intr = np.array([400.0, 400.0, 320.0, 240.0], np.float32)
+    pts_gt = rng.uniform(-1.0, 1.0, (n_pts, 3)).astype(np.float32)
+    pts_gt[:, 2] += 6.0  # in front of the rig
+
+    poses_gt = []
+    for c in range(n_cams):
+        angle = 0.08 * (c - n_cams / 2)
+        w = np.array([0.0, angle, 0.0], np.float32)
+        t = np.array([0.4 * c, 0.0, 0.0], np.float32)
+        poses_gt.append(np.concatenate([w, t]))
+    poses_gt = np.stack(poses_gt).astype(np.float32)
+
+    cam_idx = np.repeat(np.arange(n_cams), n_pts).astype(np.int32)
+    pt_idx = np.tile(np.arange(n_pts), n_cams).astype(np.int32)
+    uv = np.asarray(
+        geo.project(
+            geo.transform(jnp.asarray(poses_gt)[cam_idx], jnp.asarray(pts_gt)[pt_idx]),
+            jnp.asarray(intr),
+        )
+    )
+    uv = uv + rng.normal(0, noise, uv.shape).astype(np.float32)
+
+    poses0 = poses_gt + rng.normal(0, perturb, poses_gt.shape).astype(np.float32)
+    poses0[0] = poses_gt[0]  # gauge anchor stays exact
+    pts0 = pts_gt + rng.normal(0, perturb * 4, pts_gt.shape).astype(np.float32)
+
+    problem = ba.BAProblem(
+        poses=jnp.asarray(poses0),
+        points=jnp.asarray(pts0),
+        intrinsics=jnp.asarray(intr),
+        cam_idx=jnp.asarray(cam_idx),
+        pt_idx=jnp.asarray(pt_idx),
+        uv=jnp.asarray(uv),
+        weight=jnp.ones(len(cam_idx), jnp.float32),
+    )
+    return problem, poses_gt, pts_gt
+
+
+def test_residuals_zero_at_ground_truth(rng):
+    problem, poses_gt, pts_gt = make_problem(rng, perturb=0.0)
+    r = np.asarray(ba.residuals(problem, jnp.asarray(poses_gt), jnp.asarray(pts_gt)))
+    np.testing.assert_allclose(r, 0.0, atol=1e-2)
+
+
+def test_solve_reduces_cost(rng):
+    problem, _, _ = make_problem(rng, perturb=0.05)
+    c0 = float(ba._cost(problem, problem.poses, problem.points))
+    state = ba.solve(problem, iters=8, cg_iters=12)
+    assert float(state.cost) < c0 * 1e-2
+
+
+def test_solve_recovers_ground_truth(rng):
+    problem, poses_gt, pts_gt = make_problem(rng, perturb=0.03)
+    state = ba.solve(problem, iters=12, cg_iters=15)
+    # reprojection cost ≈ 0 (noiseless observations)
+    assert float(state.cost) < 1e-3
+
+
+def test_masked_padding_slots_ignored(rng):
+    problem, _, _ = make_problem(rng, n_cams=3, n_pts=40, perturb=0.02)
+    # append garbage observations with weight 0
+    n_pad = 64
+    pad_uv = jnp.asarray(rng.uniform(0, 640, (n_pad, 2)), jnp.float32)
+    padded = problem._replace(
+        cam_idx=jnp.concatenate([problem.cam_idx, jnp.zeros(n_pad, jnp.int32)]),
+        pt_idx=jnp.concatenate([problem.pt_idx, jnp.zeros(n_pad, jnp.int32)]),
+        uv=jnp.concatenate([problem.uv, pad_uv]),
+        weight=jnp.concatenate([problem.weight, jnp.zeros(n_pad, jnp.float32)]),
+    )
+    s1 = ba.solve(problem, iters=5, cg_iters=10)
+    s2 = ba.solve(padded, iters=5, cg_iters=10)
+    np.testing.assert_allclose(np.asarray(s1.poses), np.asarray(s2.poses), atol=1e-4)
+    np.testing.assert_allclose(float(s1.cost), float(s2.cost), atol=1e-6)
+
+
+def test_sharded_matches_single_device(rng):
+    problem, _, _ = make_problem(rng, n_cams=4, n_pts=64, perturb=0.03)  # N=256
+    m = mesh_mod.make_mesh(data=8, tile=1)
+    s1 = ba.solve(problem, iters=4, cg_iters=8)
+    s2 = ba.solve_sharded(problem, m, iters=4, cg_iters=8)
+    # f32 psum reduction order differs from the single-device segment-sum, and
+    # LM iterations amplify the last-bit differences — compare loosely and on
+    # the cost, which is the contract.
+    np.testing.assert_allclose(np.asarray(s1.poses), np.asarray(s2.poses), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(s1.points), np.asarray(s2.points), atol=5e-3)
+    np.testing.assert_allclose(float(s1.cost), float(s2.cost), rtol=0.3, atol=1e-4)
+
+
+def test_sharded_obs_count_validation(rng):
+    problem, _, _ = make_problem(rng, n_cams=3, n_pts=21, perturb=0.02)  # N=63
+    m = mesh_mod.make_mesh(data=8, tile=1)
+    with pytest.raises(ValueError):
+        ba.solve_sharded(problem, m, iters=2, cg_iters=4)
