@@ -1,0 +1,64 @@
+"""Native C++ engine vs the NumPy oracle: bit-exact raw disparity and full
+pipeline on random images and a reference-asset crop."""
+
+import numpy as np
+import pytest
+
+from stepth_tpu import native
+from stepth_tpu.oracle import pipeline as oracle
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason=f"native build failed: {native.build_error()}"
+)
+
+
+def _rand_pair(rng, h=40, w=56):
+    main = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    add = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    return main, add
+
+
+def test_raw_disparity_matches_oracle(rng):
+    main, add = _rand_pair(rng)
+    prec = (36, 36, 36)
+    want = oracle.raw_disparity_map(main, add, prec, min_splits=8)
+    got = native.raw_disparity(main, add, prec, min_splits=8)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_raw_disparity_smooth_blocks(rng):
+    # piecewise-constant image → large homogeneous blocks, early leaf levels
+    main = np.zeros((32, 48, 3), np.uint8)
+    main[:16] = 200
+    main[16:, :24] = 100
+    add = np.roll(main, 5, axis=1)
+    prec = (20, 20, 20)
+    want = oracle.raw_disparity_map(main, add, prec, min_splits=4)
+    got = native.raw_disparity(main, add, prec, min_splits=4)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_full_pipeline_matches_oracle(rng):
+    main, add = _rand_pair(rng, 36, 44)
+    prec = (36, 36, 36)
+    want = oracle.depth_from_additional_oracle(main, add, prec, min_splits=8)
+    got = native.depth_from_additional(main, add, prec, min_splits=8)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_asset_crop_matches_oracle(asset_pair):
+    main, add = asset_pair
+    main_c = main[::4, ::4][:64, :64]
+    add_c = add[::4, ::4][:64, :64]
+    prec = (36, 36, 36)
+    want = oracle.raw_disparity_map(main_c, add_c, prec, min_splits=10)
+    got = native.raw_disparity(main_c, add_c, prec, min_splits=10)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_thread_counts_agree(rng):
+    main, add = _rand_pair(rng)
+    prec = (30, 30, 30)
+    a = native.raw_disparity(main, add, prec, min_splits=8, n_threads=1)
+    b = native.raw_disparity(main, add, prec, min_splits=8, n_threads=8)
+    np.testing.assert_array_equal(a, b)
