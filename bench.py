@@ -100,16 +100,55 @@ def numpy_hierarchical(left, right, levels=4, coarsest_disp=16, radius=4, window
 # ----------------------------------------------------------------------------
 
 
+_CPU_CACHE = "BENCH_CPU_BASELINE.json"
+
+
+def cpu_baseline_fps(left_np, right_np):
+    """Single-threaded NumPy CPU fps on the same (hierarchical) pipeline — the
+    'Rust CPU baseline' stand-in (BASELINE.md; no Rust toolchain here). Cached
+    after first measurement: the host CPU is heavily throttled and the number
+    is stable."""
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    cache = os.path.join(here, _CPU_CACHE)
+    if os.path.exists(cache):
+        with open(cache) as f:
+            data = json.load(f)
+        if data.get("h") == H and data.get("w") == W:
+            return data["fps"], None
+    t0 = time.perf_counter()
+    disp_np = numpy_hierarchical(left_np, right_np)
+    dt = time.perf_counter() - t0
+    fps = 1.0 / dt
+    with open(cache, "w") as f:
+        json.dump({"h": H, "w": W, "fps": fps, "seconds_per_frame": dt}, f)
+    return fps, disp_np
+
+
 def main():
+    import os
+
     import jax
+
+    # persistent compilation cache: the fused kernel's first compile is ~8 min
+    # through the remote-compile tunnel; cached reruns skip it
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
-    from stepth_tpu.config import MatchConfig, PyramidConfig
-    from stepth_tpu.match import pyramid
+    from stepth_tpu.config import MatchConfig
+    from stepth_tpu.match import pallas_dense
 
     left_np, right_np = make_pair(H, W)
-    cfg = MatchConfig(num_disparities=128, window=9, cost="sad", lr_threshold=None)
-    pyr = PyramidConfig(levels=4, refine_radius=4, coarsest_disparities=16)
+    # flagship single-chip config: fused Pallas kernel, full 128-disparity
+    # search, LR consistency (BASELINE.md config 3)
+    cfg = MatchConfig(num_disparities=128, window=9, cost="sad", lr_threshold=1.0)
 
     left = jnp.asarray(left_np)
     right = jnp.asarray(right_np)
@@ -118,14 +157,12 @@ def main():
     # block_until_ready before execution finishes, so naive per-call timing
     # under-counts; a dependent chain + one readback measures real device time,
     # and the two-point difference removes the fixed round-trip overhead).
-    def step(l, r):
-        d = pyramid.match_hierarchical(l, r, cfg, pyr).disparity
-        return l + d[:1, :1] * 1e-6, d
-
-    fn = jax.jit(step)
+    fn = jax.jit(
+        lambda l, r: pallas_dense.match_pair_pallas(l, r, cfg, tile_rows=32).disparity
+    )
 
     t0 = time.perf_counter()
-    l1, out = fn(left, right)
+    out = fn(left, right)
     _ = float(jnp.sum(out[:1, :8]))
     compile_s = time.perf_counter() - t0
     print(f"[bench] compile+first-step: {compile_s:.1f}s on {jax.devices()[0]}", file=sys.stderr)
@@ -134,29 +171,27 @@ def main():
         l = left
         t0 = time.perf_counter()
         for _ in range(n):
-            l, out = fn(l, right)
+            out = fn(l, right)
+            l = left + out[:1, :1] * 1e-6
         _ = float(jnp.sum(out[:1, :8]))
         return time.perf_counter() - t0, out
 
-    chain(3)  # warm
-    n1, n2 = 10, 50
-    t1, _ = chain(n1)
-    t2, out = chain(n2)
-    per_frame = max((t2 - t1) / (n2 - n1), 1e-9)
+    chain(2)  # warm
+    t1, _ = chain(4)
+    t2, out = chain(24)
+    per_frame = max((t2 - t1) / 20, 1e-9)
     fps = 1.0 / per_frame
-    print(f"[bench] tpu 1080p hierarchical: {fps:.2f} frames/s ({per_frame*1e3:.3f} ms/frame)", file=sys.stderr)
+    print(
+        f"[bench] tpu 1080p pallas D=128+LR: {fps:.2f} frames/s"
+        f" ({per_frame*1e3:.3f} ms/frame)",
+        file=sys.stderr,
+    )
 
-    # CPU baseline stand-in: same pipeline, single-threaded NumPy
-    t0 = time.perf_counter()
-    disp_np = numpy_hierarchical(left_np, right_np)
-    cpu_dt = time.perf_counter() - t0
-    cpu_fps = 1.0 / cpu_dt
-    print(f"[bench] numpy-cpu baseline: {cpu_fps:.3f} frames/s", file=sys.stderr)
+    cpu_fps, disp_np = cpu_baseline_fps(left_np, right_np)
+    print(f"[bench] numpy-cpu baseline: {cpu_fps:.4f} frames/s", file=sys.stderr)
 
-    # sanity: both recover the synthetic shift in the interior
     tpu_med = float(np.median(np.asarray(out)[50:-50, 100:-100]))
-    np_med = float(np.median(disp_np[50:-50, 100:-100]))
-    print(f"[bench] median disparity tpu={tpu_med:.2f} numpy={np_med:.2f} want=24", file=sys.stderr)
+    print(f"[bench] median disparity tpu={tpu_med:.2f} want=24", file=sys.stderr)
 
     print(
         json.dumps(

@@ -162,8 +162,9 @@ def right_disparity_from_volume(agg: jax.Array) -> jax.Array:
     h, w, d = agg.shape
     slices = []
     for k in range(d):
+        kk = min(k, w)  # disparities beyond the width are fully out of bounds
         shifted = jnp.pad(
-            agg[:, k:, k], ((0, 0), (0, k)), constant_values=jnp.inf
+            agg[:, kk:, k], ((0, 0), (0, kk)), constant_values=jnp.inf
         )
         slices.append(shifted)
     cost_r = jnp.stack(slices, axis=-1)

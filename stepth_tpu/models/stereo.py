@@ -1,0 +1,90 @@
+"""Model-level API: configured stereo depth estimators as frozen pytrees.
+
+The reference's "model" is one hard-wired pipeline behind ``DepthImage``
+(reference src/depth_image.rs:76-136). Here the matcher family is explicit —
+pick a backend, hold its config, call it like a function. All backends share
+the :class:`stepth_tpu.match.dense.MatchResult` contract.
+
+Backends:
+  * ``"dense"``        — pure-XLA cost volume (reference-quality, any platform)
+  * ``"pallas"``       — fused TPU kernel (fastest single-chip path)
+  * ``"hierarchical"`` — coarse-to-fine pyramid (large search ranges)
+  * ``"parity"``       — the bit-exact reference-semantics path
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+
+from stepth_tpu.config import DEFAULT_PRECISION, MatchConfig, PyramidConfig
+from stepth_tpu.match import dense
+
+
+@dataclasses.dataclass(frozen=True)
+class StereoModel:
+    """A configured stereo depth estimator."""
+
+    backend: str = "dense"
+    match: MatchConfig = MatchConfig()
+    pyramid: PyramidConfig = PyramidConfig()
+    precision: Tuple[int, int, int] = DEFAULT_PRECISION  # parity backend only
+
+    def __call__(self, left, right) -> dense.MatchResult:
+        if self.backend == "dense":
+            return dense.match_pair(left, right, self.match)
+        if self.backend == "pallas":
+            from stepth_tpu.match import pallas_dense
+
+            return pallas_dense.match_pair_pallas(left, right, self.match)
+        if self.backend == "hierarchical":
+            from stepth_tpu.match import pyramid as pyr
+
+            return pyr.match_hierarchical(left, right, self.match, self.pyramid)
+        if self.backend == "parity":
+            from stepth_tpu.match import parity
+            import jax.numpy as jnp
+
+            depth = parity.depth_from_additional(
+                np.asarray(left, dtype=np.uint8),
+                np.asarray(right, dtype=np.uint8),
+                self.precision,
+            )
+            d = jnp.asarray(depth).astype(jnp.float32)
+            return dense.MatchResult(
+                disparity=d, valid=jnp.ones(d.shape, bool), cost=jnp.zeros_like(d)
+            )
+        raise ValueError(f"unknown backend {self.backend!r}")
+
+    def depth_u8(self, left, right) -> jax.Array:
+        """Disparity scaled to the reference's u8 depth convention."""
+        res = self(left, right)
+        if self.backend == "parity":
+            return res.disparity.astype("uint8")
+        return dense.disparity_to_depth_u8(res.disparity, self.match.num_disparities)
+
+    def sharded(self, mesh):
+        """Return a callable running this model tile-sharded over ``mesh``
+        (dense backend only for now)."""
+        from stepth_tpu.parallel import sharded
+
+        if self.backend not in ("dense",):
+            raise NotImplementedError(f"sharded() supports dense, not {self.backend}")
+
+        def run(left, right):
+            return sharded.match_pair_sharded(left, right, self.match, mesh)
+
+        return run
+
+
+def flagship(num_disparities: int = 128) -> StereoModel:
+    """The benchmark configuration: fused Pallas kernel, SAD, LR check."""
+    return StereoModel(
+        backend="pallas",
+        match=MatchConfig(
+            num_disparities=num_disparities, window=9, cost="sad", lr_threshold=1.0
+        ),
+    )

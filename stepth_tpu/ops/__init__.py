@@ -1,3 +1,3 @@
-from stepth_tpu.ops import adjust, depth, kmeans, mask, photometric, resize
+from stepth_tpu.ops import adjust, depth, kmeans, mask, photometric, resize, temporal
 
-__all__ = ["adjust", "depth", "kmeans", "mask", "photometric", "resize"]
+__all__ = ["adjust", "depth", "kmeans", "mask", "photometric", "resize", "temporal"]
