@@ -45,10 +45,35 @@ _BIG = 1e30  # python float: jnp scalars would be captured consts in the kernel
 
 
 def _kernel(
-    l_hbm, r_hbm, disp_ref, dispr_ref, cbest_ref, *, H, W, Hr, Wr, D, TH, RV, win
+    g_row0_ref,
+    l_hbm,
+    r_hbm,
+    disp_ref,
+    dispr_ref,
+    cbest_ref,
+    valid_ref,
+    *,
+    H,
+    W,
+    Hr,
+    Wr,
+    D,
+    TH,
+    RV,
+    win,
+    lr_threshold,
+    g_h=None,
 ):
     """``H``/``W`` are the padded slab dims; ``Hr``/``Wr`` the real image dims —
-    window-clipping masks use the real dims so borders match the XLA path."""
+    window-clipping masks use the real dims so borders match the XLA path.
+    ``lr_threshold``: python float, or None to skip the in-kernel LR sweep.
+    ``g_row0_ref``/``g_h``: when the input is a row-shard of a larger image
+    (halo included), the shard's global starting row (SMEM scalar, traced under
+    shard_map) and the global image height, so cost clipping happens at the
+    *true* image borders (seam exactness)."""
+    if g_h is None:
+        g_h = Hr
+    g_row0 = g_row0_ref[0]
     S = TH + 2 * RV
     i = pl.program_id(0)
     # TH, RV, H are all multiples of 8 (enforced by the caller) so every
@@ -77,6 +102,8 @@ def _kernel(
         for j in range(-rbox, rbox + 1):
             ok = (rows + j >= 0) & (rows + j < S)
             ok &= (start + rows + j >= 0) & (start + rows + j < Hr)
+            gr = g_row0 + start + rows + j  # global image row
+            ok &= (gr >= 0) & (gr < g_h)
             vmasks.append(ok.astype(jnp.float32))
         # horizontal window col-shift masks
         hmasks = [
@@ -145,8 +172,32 @@ def _kernel(
         )
 
         disp_ref[:] = disp
-        dispr_ref[:] = bestrd.astype(jnp.float32)
+        dispr = bestrd.astype(jnp.float32)
+        dispr_ref[:] = dispr
         cbest_ref[:] = cb
+
+        if lr_threshold is None:
+            valid_ref[:] = jnp.ones((TH, W), jnp.float32)
+        else:
+            # LR consistency, gather-free (same formulation as
+            # dense.lr_consistency): sweep candidate integer shifts d and
+            # select where round(x − dL) == clip(x − d); dR at column x − d is
+            # a lanes-roll with edge-clamping.
+            colf = cols.astype(jnp.float32)  # [1, W]
+            wmax = jnp.float32(Wr - 1)
+            xr = jnp.clip(jnp.round(colf - disp), 0.0, wmax)
+            dredge = dispr[:, :1]
+
+            def lr_body(d, ok):
+                dr_s = pltpu.roll(dispr, d, axis=1)
+                dr_s = jnp.where(cols < d, dredge, dr_s)
+                sel = xr == jnp.clip(colf - d.astype(jnp.float32), 0.0, wmax)
+                hit = sel & (jnp.abs(disp - dr_s) <= lr_threshold)
+                # f32 carry: Mosaic's scf.for cannot legalize a bool vector carry
+                return jnp.maximum(ok, hit.astype(jnp.float32))
+
+            ok = jax.lax.fori_loop(0, D, lr_body, jnp.zeros((TH, W), jnp.float32))
+            valid_ref[:] = ok
 
     pl.run_scoped(
         body,
@@ -161,24 +212,25 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "tile_rows", "interpret"))
-def match_pair_pallas(
-    left,
-    right,
-    cfg: MatchConfig = MatchConfig(),
+def raw_match(
+    lg,
+    rg,
+    cfg: MatchConfig,
     tile_rows: int = 32,
     interpret: Optional[bool] = None,
+    g_row0: int = 0,
+    g_h: Optional[int] = None,
 ):
-    """Fused-kernel twin of :func:`stepth_tpu.match.dense.match_pair` (SAD cost;
-    census pending). Same output contract; the epilogue (LR validity via the
-    static-shift sweep, occlusion fill, median) runs in XLA."""
+    """Run the fused kernel on gray f32 images; returns
+    ``(disp, disp_r, cbest, valid)`` full-size, pre-epilogue. ``g_row0``/``g_h``
+    mark the global row window when ``lg`` is a halo-extended row shard."""
     if cfg.cost != "sad":
         raise NotImplementedError("pallas matcher currently implements SAD cost")
+    if cfg.uniqueness is not None:
+        raise NotImplementedError("uniqueness check not in the pallas path yet")
     if interpret is None:
         # fall back to the interpreter on non-TPU backends (CPU test meshes)
         interpret = jax.default_backend() != "tpu"
-    lg = dense.grayscale(left)
-    rg = dense.grayscale(right)
     h, w = lg.shape
     D = cfg.num_disparities
     # halo rounded up to the f32 sublane tile (8) so DMA row starts stay aligned
@@ -194,38 +246,59 @@ def match_pair_pallas(
     rg_p = jnp.pad(rg, ((0, hp - h), (0, wp - w)), mode="edge")
 
     kern = functools.partial(
-        _kernel, H=hp, W=wp, Hr=h, Wr=w, D=D, TH=tile_rows, RV=RV, win=cfg.window
+        _kernel,
+        H=hp,
+        W=wp,
+        Hr=h,
+        Wr=w,
+        D=D,
+        TH=tile_rows,
+        RV=RV,
+        win=cfg.window,
+        lr_threshold=None if cfg.lr_threshold is None else float(cfg.lr_threshold),
+        g_h=g_h,
     )
     out_shape = [
         jax.ShapeDtypeStruct((hp, wp), jnp.float32),  # disparity
         jax.ShapeDtypeStruct((hp, wp), jnp.float32),  # right disparity
         jax.ShapeDtypeStruct((hp, wp), jnp.float32),  # best cost
+        jax.ShapeDtypeStruct((hp, wp), jnp.float32),  # LR validity
     ]
     grid = (hp // tile_rows,)
     tile_spec = pl.BlockSpec(
         (tile_rows, wp), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    disp, disp_r, cbest = pl.pallas_call(
+    g_row0_arr = jnp.asarray(g_row0, jnp.int32).reshape(1)
+    disp, disp_r, cbest, valid_f = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=[tile_spec, tile_spec, tile_spec],
+        out_specs=[tile_spec, tile_spec, tile_spec, tile_spec],
         out_shape=out_shape,
         interpret=interpret,
-    )(lg_p, rg_p)
+    )(g_row0_arr, lg_p, rg_p)
+    return disp[:h, :w], disp_r[:h, :w], cbest[:h, :w], valid_f[:h, :w]
 
-    disp = disp[:h, :w]
-    disp_r = disp_r[:h, :w]
-    cbest = cbest[:h, :w]
 
-    valid = jnp.ones(disp.shape, dtype=bool)
-    if cfg.uniqueness is not None:
-        raise NotImplementedError("uniqueness check not in the pallas path yet")
-    if cfg.lr_threshold is not None:
-        valid = valid & dense.lr_consistency(disp, disp_r, cfg.lr_threshold, D)
+@functools.partial(jax.jit, static_argnames=("cfg", "tile_rows", "interpret"))
+def match_pair_pallas(
+    left,
+    right,
+    cfg: MatchConfig = MatchConfig(),
+    tile_rows: int = 32,
+    interpret: Optional[bool] = None,
+):
+    """Fused-kernel twin of :func:`stepth_tpu.match.dense.match_pair` (SAD cost;
+    census pending). Same output contract; the cheap epilogue (occlusion fill,
+    median) runs in XLA."""
+    lg = dense.grayscale(left)
+    rg = dense.grayscale(right)
+    disp, _, cbest, valid_f = raw_match(lg, rg, cfg, tile_rows, interpret)
+    valid = valid_f > 0.5
     disp = dense.fill_invalid(disp, valid)
     disp = dense.median3(disp)
     return dense.MatchResult(disparity=disp, valid=valid, cost=cbest)

@@ -175,6 +175,72 @@ def match_batch_sharded(
     return fn(lefts, rights)
 
 
+@partial(jax.jit, static_argnames=("cfg", "mesh", "halo", "tile_rows", "interpret"))
+def match_pair_sharded_pallas(
+    left,
+    right,
+    cfg: MatchConfig = MatchConfig(),
+    mesh: Optional[Mesh] = None,
+    halo: Optional[int] = None,
+    tile_rows: int = 32,
+    interpret: Optional[bool] = None,
+) -> dense.MatchResult:
+    """Row-tile sharding where each shard runs the fused Pallas kernel on its
+    halo-extended block (multi-chip single-frame path). The kernel masks cost
+    rows by *global* image coordinates (``g_row0``/``g_h``), so output equals
+    the single-device kernel bit-for-bit."""
+    from stepth_tpu.match import pallas_dense
+
+    if mesh is None:
+        from stepth_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+    if halo is None:
+        halo = required_halo(cfg)
+    # the kernel DMAs row slabs at sublane granularity — keep halos aligned
+    halo = ((halo + 7) // 8) * 8
+    left = jnp.asarray(left, jnp.float32)
+    right = jnp.asarray(right, jnp.float32)
+    h = left.shape[0]
+    ntile = mesh.shape["tile"]
+    if h % ntile != 0:
+        raise ValueError(f"H={h} not divisible by tile axis {ntile}")
+    th = h // ntile
+    if th < halo:
+        raise ValueError(f"tile height {th} < halo {halo}")
+
+    def shard_fn(l_blk, r_blk):
+        idx = lax.axis_index("tile")
+        lg = dense.grayscale(l_blk)
+        rg = dense.grayscale(r_blk)
+        l_ext = _with_halo(lg, halo, "tile", edge="replicate")
+        r_ext = _with_halo(rg, halo, "tile", edge="replicate")
+        g_row0 = idx * th - halo
+        disp, _, cbest, valid_f = pallas_dense.raw_match(
+            l_ext, r_ext, cfg, tile_rows=tile_rows, interpret=interpret,
+            g_row0=g_row0, g_h=h,
+        )
+        disp = disp[halo : halo + th]
+        cbest = cbest[halo : halo + th]
+        valid = valid_f[halo : halo + th] > 0.5
+        disp = dense.fill_invalid(disp, valid)
+        d_ext = _with_halo(disp, 1, "tile", edge="replicate")
+        disp = dense.median3(d_ext)[1 : 1 + th]
+        return disp, valid, cbest
+
+    spec = P("tile", None) if left.ndim == 2 else P("tile", None, None)
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(spec, spec),
+        out_specs=(P("tile", None), P("tile", None), P("tile", None)),
+        # pallas_call outputs carry no varying-mesh-axes metadata; skip the check
+        check_vma=False,
+    )
+    disp, valid, cbest = fn(left, right)
+    return dense.MatchResult(disparity=disp, valid=valid, cost=cbest)
+
+
 @partial(jax.jit, static_argnames=("mesh",))
 def normalize_depth_sharded(raw_depth, mesh: Optional[Mesh] = None):
     """Global max-normalization of a sharded raw depth map — the reference's

@@ -78,3 +78,18 @@ def test_halo_validation_errors(rng):
     cfg = MatchConfig(num_disparities=16, window=9, cost="census")
     with pytest.raises(ValueError):
         sharded.match_pair_sharded(left, right, cfg, m)
+
+
+def test_sharded_pallas_equals_single(rng):
+    from stepth_tpu.parallel.sharded import match_pair_sharded_pallas
+    from stepth_tpu.match import pallas_dense
+
+    left, right = make_pair(rng, h=64, w=128, shift=5)
+    cfg = MatchConfig(num_disparities=16, window=9, cost="sad", lr_threshold=1.0)
+    m = mesh_mod.make_mesh(data=1, tile=4)
+    ref = pallas_dense.match_pair_pallas(left, right, cfg, interpret=True)
+    got = match_pair_sharded_pallas(left, right, cfg, m, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref.valid), np.asarray(got.valid))
+    np.testing.assert_allclose(
+        np.asarray(ref.disparity), np.asarray(got.disparity), atol=1e-5
+    )
