@@ -142,13 +142,15 @@ def main():
 
     import jax.numpy as jnp
 
-    from stepth_tpu.config import MatchConfig
-    from stepth_tpu.match import pallas_dense
+    from stepth_tpu.config import MatchConfig, PyramidConfig
+    from stepth_tpu.match import pallas_refine
 
     left_np, right_np = make_pair(H, W)
-    # flagship single-chip config: fused Pallas kernel, full 128-disparity
-    # search, LR consistency (BASELINE.md config 3)
-    cfg = MatchConfig(num_disparities=128, window=9, cost="sad", lr_threshold=1.0)
+    # flagship single-chip config (BASELINE.md config 3): 1080p hierarchical
+    # coarse-to-fine, all levels on Pallas kernels, effective 128-disparity
+    # range (16 × 2^3)
+    cfg = MatchConfig(num_disparities=128, window=9, cost="sad")
+    pyr = PyramidConfig(levels=4, refine_radius=4, coarsest_disparities=16)
 
     left = jnp.asarray(left_np)
     right = jnp.asarray(right_np)
@@ -158,7 +160,7 @@ def main():
     # under-counts; a dependent chain + one readback measures real device time,
     # and the two-point difference removes the fixed round-trip overhead).
     fn = jax.jit(
-        lambda l, r: pallas_dense.match_pair_pallas(l, r, cfg, tile_rows=32).disparity
+        lambda l, r: pallas_refine.match_hierarchical_pallas(l, r, cfg, pyr).disparity
     )
 
     t0 = time.perf_counter()
@@ -182,7 +184,7 @@ def main():
     per_frame = max((t2 - t1) / 20, 1e-9)
     fps = 1.0 / per_frame
     print(
-        f"[bench] tpu 1080p pallas D=128+LR: {fps:.2f} frames/s"
+        f"[bench] tpu 1080p hierarchical-pallas (eff. D=128): {fps:.2f} frames/s"
         f" ({per_frame*1e3:.3f} ms/frame)",
         file=sys.stderr,
     )
@@ -205,5 +207,106 @@ def main():
     )
 
 
+def bench_extra():
+    """Secondary metrics (stderr/manual): VGA dense fps and BA iters/s
+    (BASELINE.md configs 2 and 5). Run with ``python bench.py --extra``."""
+    import jax
+    import jax.numpy as jnp
+
+    from stepth_tpu.config import MatchConfig
+    from stepth_tpu.match import pallas_dense
+
+    # --- config 2: VGA, 64 disparities, fused kernel -------------------------
+    lv, rv = make_pair(480, 640, shift=12, seed=1)
+    cfg = MatchConfig(num_disparities=64, window=9, cost="sad", lr_threshold=1.0)
+    f = jax.jit(lambda l, r: pallas_dense.match_pair_pallas(l, r, cfg).disparity)
+    lj, rj = jnp.asarray(lv), jnp.asarray(rv)
+    t0 = time.perf_counter()
+    o = f(lj, rj)
+    _ = float(jnp.sum(o[:1, :8]))
+    print(f"[bench-extra] vga compile+first: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+    def chain(n):
+        l = lj
+        t0 = time.perf_counter()
+        for _ in range(n):
+            o = f(l, rj)
+            l = lj + o[:1, :1] * 1e-6
+        _ = float(jnp.sum(o[:1, :8]))
+        return time.perf_counter() - t0
+
+    chain(3)
+    t1, t2 = chain(4), chain(44)
+    per = (t2 - t1) / 40
+    print(
+        f"[bench-extra] vga 64-disp fused: {per*1e3:.3f} ms/frame -> {1/per:.1f} fps",
+        file=sys.stderr,
+    )
+
+    # --- config 5: BA iters/s ------------------------------------------------
+    from stepth_tpu.fusion import ba, geometry as geo
+
+    rng = np.random.default_rng(0)
+    n_cams, n_pts, obs_per_cam = 32, 4096, 2048
+    intr = jnp.asarray([500.0, 500.0, 640.0, 360.0])
+    pts = jnp.asarray(rng.uniform(-3, 3, (n_pts, 3)).astype(np.float32))
+    pts = pts.at[:, 2].add(10.0)
+    poses = jnp.asarray(
+        np.stack(
+            [
+                np.concatenate(
+                    [rng.normal(0, 0.02, 3), [0.2 * c, 0.0, 0.0]]
+                ).astype(np.float32)
+                for c in range(n_cams)
+            ]
+        )
+    )
+    ci = jnp.asarray(np.repeat(np.arange(n_cams), obs_per_cam), jnp.int32)
+    pi = jnp.asarray(
+        rng.integers(0, n_pts, n_cams * obs_per_cam).astype(np.int32)
+    )
+    uv = geo.project(geo.transform(poses[ci], pts[pi]), intr)
+    prob = ba.BAProblem(
+        poses=poses + jnp.asarray(rng.normal(0, 0.01, poses.shape).astype(np.float32)),
+        points=pts,
+        intrinsics=intr,
+        cam_idx=ci,
+        pt_idx=pi,
+        uv=uv,
+        weight=jnp.ones(ci.shape[0], jnp.float32),
+    )
+    LM_ITERS, CG_ITERS = 10, 10
+    solve = jax.jit(
+        lambda p: ba.solve(p, iters=LM_ITERS, cg_iters=CG_ITERS), static_argnums=()
+    )
+    t0 = time.perf_counter()
+    st = ba.solve(prob, iters=LM_ITERS, cg_iters=CG_ITERS)
+    _ = float(st.cost)
+    print(f"[bench-extra] ba compile+first: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+    def chain_ba(n):
+        p = prob
+        t0 = time.perf_counter()
+        for _ in range(n):
+            st = ba.solve(p, iters=LM_ITERS, cg_iters=CG_ITERS)
+            p = p._replace(poses=st.poses, points=st.points)
+        _ = float(st.cost)
+        return time.perf_counter() - t0
+
+    chain_ba(1)
+    t1, t2 = chain_ba(2), chain_ba(10)
+    per_solve = (t2 - t1) / 8
+    iters_s = LM_ITERS / per_solve
+    print(
+        f"[bench-extra] BA ({n_cams} cams, {n_pts} pts, {n_cams*obs_per_cam} obs):"
+        f" {per_solve*1e3:.1f} ms / {LM_ITERS} LM iters -> {iters_s:.1f} LM iters/s"
+        f" (cost {float(st.cost):.2e})",
+        file=sys.stderr,
+    )
+
+
 if __name__ == "__main__":
-    main()
+    if "--extra" in sys.argv:
+        bench_extra()
+    else:
+        main()

@@ -1,0 +1,38 @@
+"""Batched stereo video over a sharded mesh with temporal post-processing
+(BASELINE.md config 4). Uses synthetic frames; swap in real decoded frames for
+production. Run on any backend (CPU works via the virtual mesh):
+
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python examples/stereo_video.py
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+if jax.default_backend() != "tpu" and len(jax.devices()) < 8:
+    jax.config.update("jax_platforms", "cpu")
+
+from stepth_tpu.config import MatchConfig
+from stepth_tpu.ops import temporal
+from stepth_tpu.parallel import mesh as mesh_mod, sharded
+from stepth_tpu.match import dense
+
+T, H, W, SHIFT = 8, 64, 128, 6
+rng = np.random.default_rng(0)
+tex = rng.uniform(0, 255, (T, H, W + SHIFT)).astype(np.float32)
+lefts = jnp.asarray(tex[:, :, :W])
+rights = jnp.asarray(tex[:, :, SHIFT:])
+
+n = len(jax.devices())
+mesh = mesh_mod.make_mesh(data=min(4, n), tile=max(1, n // min(4, n)))
+cfg = MatchConfig(num_disparities=16, window=9)
+
+disp = sharded.match_batch_sharded(lefts, rights, cfg, mesh)  # [T, H, W]
+depth = jax.vmap(lambda d: dense.disparity_to_depth_u8(d, 16))(disp)
+
+smoothed = temporal.temporal_median_depth(depth, window=3)
+moving = temporal.motion_mask(depth.astype(jnp.float32), threshold=8.0)
+
+print("disparity median:", float(jnp.median(disp)))
+print("moving fraction:", float((moving == 255).mean()))

@@ -6,10 +6,11 @@ pick a backend, hold its config, call it like a function. All backends share
 the :class:`stepth_tpu.match.dense.MatchResult` contract.
 
 Backends:
-  * ``"dense"``        — pure-XLA cost volume (reference-quality, any platform)
-  * ``"pallas"``       — fused TPU kernel (fastest single-chip path)
-  * ``"hierarchical"`` — coarse-to-fine pyramid (large search ranges)
-  * ``"parity"``       — the bit-exact reference-semantics path
+  * ``"dense"``              — pure-XLA cost volume (reference-quality, any platform)
+  * ``"pallas"``             — fused TPU kernel (fastest exhaustive-search path)
+  * ``"hierarchical"``       — coarse-to-fine pyramid, XLA (large search ranges)
+  * ``"hierarchical-pallas"``— coarse-to-fine, all levels on Pallas kernels
+  * ``"parity"``             — the bit-exact reference-semantics path
 """
 
 from __future__ import annotations
@@ -44,6 +45,12 @@ class StereoModel:
             from stepth_tpu.match import pyramid as pyr
 
             return pyr.match_hierarchical(left, right, self.match, self.pyramid)
+        if self.backend == "hierarchical-pallas":
+            from stepth_tpu.match import pallas_refine
+
+            return pallas_refine.match_hierarchical_pallas(
+                left, right, self.match, self.pyramid
+            )
         if self.backend == "parity":
             from stepth_tpu.match import parity
             import jax.numpy as jnp

@@ -1,0 +1,68 @@
+"""Multi-host bring-up (SURVEY.md §5 distributed-backend row).
+
+The reference has no distributed layer at all; here multi-host runs use JAX's
+standard coordinator + XLA collectives over ICI/DCN. This module is the thin
+bring-up shim: initialize the process group, build the global mesh, and expose
+failure-detection knobs. Multi-host hardware is not available in the round-1
+environment; the logic is exercised via the single-process virtual mesh
+(``xla_force_host_platform_device_count``) and the driver's
+``dryrun_multichip``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    heartbeat_timeout_s: int = 100,
+) -> None:
+    """Initialize `jax.distributed` for a multi-host pod slice.
+
+    No-ops when single-process (the common dev path). The heartbeat timeout is
+    the fail-fast failure detector: a host that misses it crashes the job
+    rather than hanging the collective (restart-from-checkpoint is the
+    recovery path — see stepth_tpu.utils.checkpoint).
+    """
+    if num_processes is None:
+        num_processes = int(os.environ.get("STEPTH_NUM_PROCESSES", "1"))
+    if num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+        initialization_timeout=heartbeat_timeout_s,
+    )
+
+
+def global_mesh(data: int = 1, tile: Optional[int] = None) -> Mesh:
+    """Build the (data, tile) mesh over ALL devices across hosts. Lay the
+    ``tile`` axis innermost so halo ppermutes ride ICI (neighboring devices),
+    and the ``data`` axis outermost so batch all-reduces cross DCN only once
+    per host group."""
+    devs = jax.devices()
+    n = len(devs)
+    if tile is None:
+        tile = n // data
+    if data * tile != n:
+        raise ValueError(f"mesh {data}x{tile} != {n} devices")
+    grid = np.array(devs).reshape(data, tile)
+    return Mesh(grid, ("data", "tile"))
+
+
+def process_info() -> Tuple[int, int]:
+    """(process_index, process_count)."""
+    return jax.process_index(), jax.process_count()
+
+
+def is_coordinator() -> bool:
+    return jax.process_index() == 0

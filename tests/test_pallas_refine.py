@@ -1,0 +1,46 @@
+"""Pallas hierarchical refine kernel tests (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from stepth_tpu.config import MatchConfig, PyramidConfig
+from stepth_tpu.match import pallas_refine
+
+from tests.test_match_dense import make_pair, interior
+
+
+def test_hierarchical_pallas_recovers_shift(rng):
+    shift = 10
+    left, right = make_pair(rng, h=96, w=256, shift=shift)
+    res = pallas_refine.match_hierarchical_pallas(
+        left,
+        right,
+        MatchConfig(num_disparities=32, window=9),
+        PyramidConfig(levels=3, refine_radius=4, coarsest_disparities=8),
+        interpret=True,
+    )
+    err = np.abs(np.asarray(interior(res.disparity, 16)) - shift)
+    assert np.median(err) <= 1.0
+    assert (err <= 1.5).mean() > 0.9
+
+
+def test_refine_level_improves_noisy_prior(rng):
+    shift = 6
+    left, right = make_pair(rng, h=64, w=256, shift=shift)
+    lg = jnp.asarray(left)
+    rg = jnp.asarray(right)
+    prior = jnp.full(lg.shape, float(shift)) + jnp.asarray(
+        rng.normal(0, 1.0, lg.shape).astype(np.float32)
+    )
+    out = pallas_refine.refine_level(
+        lg, rg, prior, MatchConfig(window=9), radius=4, max_base=16, interpret=True
+    )
+    err = np.abs(np.asarray(out)[8:-8, 16:-16] - shift)
+    assert np.median(err) <= 0.5
+
+
+def test_tile_base_from_prior_clamps():
+    prior = jnp.full((32, 256), 300.0)
+    base = pallas_refine.tile_base_from_prior(prior, 32, 64)
+    assert base.shape == (1, 2)
+    assert (np.asarray(base) == 64).all()
