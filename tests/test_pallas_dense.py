@@ -35,8 +35,19 @@ def test_pallas_unaligned_shapes(rng):
     )
 
 
-def test_pallas_rejects_census(rng):
+def test_pallas_rejects_unsupported_cost(rng):
     left, right = make_pair(rng, h=48, w=160, shift=5)
-    cfg = MatchConfig(num_disparities=16, cost="census")
+    cfg = MatchConfig(num_disparities=16, cost="ssd")
     with pytest.raises(NotImplementedError):
         pallas_dense.match_pair_pallas(left, right, cfg, interpret=True)
+
+
+def test_pallas_census_matches_dense(rng):
+    left, right = make_pair(rng, h=48, w=160, shift=5)
+    cfg = MatchConfig(num_disparities=16, window=9, cost="census", lr_threshold=1.0)
+    ref = dense.match_pair(left, right, cfg)
+    got = pallas_dense.match_pair_pallas(left, right, cfg, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref.valid), np.asarray(got.valid))
+    np.testing.assert_allclose(
+        np.asarray(ref.disparity), np.asarray(got.disparity), atol=1e-4
+    )
