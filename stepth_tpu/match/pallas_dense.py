@@ -336,10 +336,12 @@ def match_pair_pallas(
     """Fused-kernel twin of :func:`stepth_tpu.match.dense.match_pair` (SAD cost;
     census pending). Same output contract; the cheap epilogue (occlusion fill,
     median) runs in XLA."""
+    from stepth_tpu.match import pallas_post
+
     lg = dense.grayscale(left)
     rg = dense.grayscale(right)
     disp, _, cbest, valid_f = raw_match(lg, rg, cfg, tile_rows, interpret)
     valid = valid_f > 0.5
     disp = dense.fill_invalid(disp, valid)
-    disp = dense.median3(disp)
+    disp = pallas_post.median3_pallas(disp, interpret=interpret)
     return dense.MatchResult(disparity=disp, valid=valid, cost=cbest)

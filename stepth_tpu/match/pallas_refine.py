@@ -280,7 +280,9 @@ def match_hierarchical_pallas(
             tile_rows, interpret,
         )
 
-    disp = dense.median3(disp)
+    from stepth_tpu.match import pallas_post
+
+    disp = pallas_post.median3_pallas(disp, interpret=interpret)
     return dense.MatchResult(
         disparity=disp, valid=disp >= 0, cost=jnp.zeros_like(disp)
     )
