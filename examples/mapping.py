@@ -5,6 +5,9 @@ Synthetic rig; runs anywhere:
     python examples/mapping.py
 """
 
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -4,7 +4,8 @@ this framework's containers. Run from the repo root:
     python examples/readme_flows.py /root/reference/assets
 """
 
-import sys
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from stepth_tpu import DepthFrame
 

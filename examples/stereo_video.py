@@ -6,12 +6,16 @@ production. Run on any backend (CPU works via the virtual mesh):
         python examples/stereo_video.py
 """
 
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-if jax.default_backend() != "tpu" and len(jax.devices()) < 8:
-    jax.config.update("jax_platforms", "cpu")
+# default to CPU (probing the backend would initialize the tunneled TPU);
+# set STEPTH_EXAMPLE_PLATFORM=tpu to run on the chip
+jax.config.update("jax_platforms", os.environ.get("STEPTH_EXAMPLE_PLATFORM", "cpu"))
 
 from stepth_tpu.config import MatchConfig
 from stepth_tpu.ops import temporal
