@@ -243,6 +243,26 @@ def bench_extra():
         file=sys.stderr,
     )
 
+    # --- config 1 workload on the native C++ host engine ---------------------
+    try:
+        from stepth_tpu import native
+        from stepth_tpu.core import io as st_io
+
+        main = st_io.open_rgb("/root/reference/assets/main.jpg")
+        add = st_io.open_rgb("/root/reference/assets/additional.jpg")
+        native.depth_from_additional(main, add, (36,) * 3)  # warm (build+cache)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            native.depth_from_additional(main, add, (36,) * 3)
+        per = (time.perf_counter() - t0) / 3
+        print(
+            f"[bench-extra] native C++ reference pipeline 600x400:"
+            f" {per*1e3:.0f} ms -> {1/per:.1f} fps (host CPU)",
+            file=sys.stderr,
+        )
+    except Exception as e:  # no assets / no toolchain
+        print(f"[bench-extra] native engine skipped: {e}", file=sys.stderr)
+
     # --- config 5: BA iters/s ------------------------------------------------
     from stepth_tpu.fusion import ba, geometry as geo
 

@@ -1,0 +1,69 @@
+"""CLI smoke tests and utils.debug tests."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from stepth_tpu import cli
+from stepth_tpu.core import io
+from stepth_tpu.utils import debug
+
+
+@pytest.fixture
+def small_pair(tmp_path, rng):
+    main = rng.integers(0, 255, (24, 32, 3), dtype=np.uint8)
+    add = np.roll(main, 3, axis=1)
+    mp, ap = str(tmp_path / "m.png"), str(tmp_path / "a.png")
+    io.save(mp, main)
+    io.save(ap, add)
+    return mp, ap
+
+
+def test_cli_depth_native(small_pair, tmp_path):
+    mp, ap = small_pair
+    out = str(tmp_path / "d.png")
+    assert cli.main(["depth", mp, ap, out, "--backend", "native"]) == 0
+    assert io.open_luma(out).shape == (24, 32)
+
+
+def test_cli_depth_oracle(small_pair, tmp_path):
+    mp, ap = small_pair
+    out = str(tmp_path / "d2.png")
+    assert cli.main(["depth", mp, ap, out, "--backend", "oracle"]) == 0
+
+
+def test_cli_stereo(small_pair, tmp_path):
+    mp, ap = small_pair
+    out = str(tmp_path / "s.png")
+    assert cli.main(["stereo", mp, ap, out, "--disparities", "8", "--window", "5"]) == 0
+    assert io.open_luma(out).shape == (24, 32)
+
+
+def test_checked_catches_nan():
+    def f(x):
+        return jnp.log(x)  # NaN for negative input
+
+    g = debug.checked(f)
+    np.testing.assert_allclose(np.asarray(g(jnp.asarray([1.0]))), [0.0], atol=1e-6)
+    from jax.experimental import checkify
+
+    with pytest.raises(checkify.JaxRuntimeError):
+        g(jnp.asarray([-1.0]))
+
+
+def test_assert_finite():
+    debug.assert_finite({"a": np.ones(3)})
+    with pytest.raises(AssertionError):
+        debug.assert_finite({"a": np.array([1.0, np.nan])})
+
+
+def test_interpret_kernels_context(rng):
+    from stepth_tpu.config import MatchConfig
+    from stepth_tpu.match import pallas_dense
+    from tests.test_match_dense import make_pair
+
+    left, right = make_pair(rng, h=32, w=128, shift=3)
+    cfg = MatchConfig(num_disparities=8, window=5, lr_threshold=None)
+    with debug.interpret_kernels():
+        res = pallas_dense.match_pair_pallas(left, right, cfg, interpret=True)
+    assert res.disparity.shape == (32, 128)
