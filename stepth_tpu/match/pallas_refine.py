@@ -48,6 +48,7 @@ def _round_up(x, m):
 
 def _refine_kernel(
     base_ref,  # SMEM i32[nr, nc] per-tile base disparity
+    g_row0_ref,  # SMEM i32[1] global row of input row 0 (for row shards)
     l_hbm,
     r_hbm,  # ANY f32[Hp, Wp] (left-padded by PADL, right by PADR)
     disp_ref,  # VMEM f32[TH, Wout] output tile row (real cols only)
@@ -63,8 +64,11 @@ def _refine_kernel(
     PADB,
     PADL,
     nc,
-    g_row0_static=0,
+    g_h=None,
 ):
+    if g_h is None:
+        g_h = Hr
+    g_row0 = g_row0_ref[0]
     S = TH + 2 * RV
     BW = PADB + _TW + 2 * _EB + 128  # right-block width
     CW = _TW + 2 * _EB  # cost-region width
@@ -84,12 +88,14 @@ def _refine_kernel(
         rows = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
         ccols = jax.lax.broadcasted_iota(jnp.int32, (1, CW), 1)  # cost-region cols
 
-        # vertical box masks (global image rows)
+        # vertical box masks (clip at local pad bounds AND global image rows)
         vmasks = []
         for j in range(-rbox, rbox + 1):
             ok = (rows + j >= 0) & (rows + j < S)
-            gr = g_row0_static + start + rows + j
-            ok &= (gr >= 0) & (gr < Hr)
+            lr_ = start + rows + j  # local (unpadded-input) row
+            ok &= (lr_ >= 0) & (lr_ < Hr)
+            gr = g_row0 + lr_  # global image row
+            ok &= (gr >= 0) & (gr < g_h)
             vmasks.append(ok.astype(jnp.float32))
 
         def col_tile(jc, _):
@@ -179,9 +185,13 @@ def refine_level(
     max_base: int,
     tile_rows: int = 32,
     interpret: Optional[bool] = None,
+    g_row0=0,
+    g_h: Optional[int] = None,
 ):
     """One pyramid refinement level via the Pallas kernel. ``left_g/right_g``
-    f32[H, W] gray; ``prior`` f32[H, W] disparity estimate; returns f32[H, W]."""
+    f32[H, W] gray; ``prior`` f32[H, W] disparity estimate; returns f32[H, W].
+    ``g_row0``/``g_h``: global row window when the inputs are a halo-extended
+    row shard of a larger image."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     h, w = left_g.shape
@@ -216,14 +226,17 @@ def refine_level(
         PADB=PADB,
         PADL=PADL,
         nc=nc,
+        g_h=g_h,
     )
     tile_spec = pl.BlockSpec(
         (tile_rows, wp), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
+    g_row0_arr = jnp.asarray(g_row0, jnp.int32).reshape(1)
     disp = pl.pallas_call(
         kern,
         grid=(hp // tile_rows,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -231,8 +244,27 @@ def refine_level(
         out_specs=tile_spec,
         out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.float32),
         interpret=interpret,
-    )(base, lg_p, rg_p)
+    )(base, g_row0_arr, lg_p, rg_p)
     return disp[:h, :w]
+
+
+def refine_level_shard(
+    left_g,
+    right_g,
+    prior,
+    cfg: MatchConfig,
+    radius: int,
+    max_base: int,
+    tile_rows: int,
+    interpret: Optional[bool],
+    g_row0,
+    g_h: int,
+):
+    """Shard-aware alias of :func:`refine_level` (traced ``g_row0``)."""
+    return refine_level(
+        left_g, right_g, prior, cfg, radius, max_base, tile_rows, interpret,
+        g_row0=g_row0, g_h=g_h,
+    )
 
 
 @functools.partial(

@@ -74,17 +74,20 @@ class StereoModel:
         return dense.disparity_to_depth_u8(res.disparity, self.match.num_disparities)
 
     def sharded(self, mesh):
-        """Return a callable running this model tile-sharded over ``mesh``
-        (dense backend only for now)."""
+        """Return a callable running this model row-tile-sharded over ``mesh``."""
         from stepth_tpu.parallel import sharded
 
-        if self.backend not in ("dense",):
-            raise NotImplementedError(f"sharded() supports dense, not {self.backend}")
-
-        def run(left, right):
-            return sharded.match_pair_sharded(left, right, self.match, mesh)
-
-        return run
+        if self.backend == "dense":
+            return lambda l, r: sharded.match_pair_sharded(l, r, self.match, mesh)
+        if self.backend == "pallas":
+            return lambda l, r: sharded.match_pair_sharded_pallas(
+                l, r, self.match, mesh
+            )
+        if self.backend == "hierarchical-pallas":
+            return lambda l, r: sharded.match_hierarchical_sharded(
+                l, r, self.match, self.pyramid, mesh
+            )
+        raise NotImplementedError(f"sharded() unsupported for {self.backend}")
 
 
 def flagship(num_disparities: int = 128) -> StereoModel:

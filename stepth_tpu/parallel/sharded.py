@@ -241,6 +241,112 @@ def match_pair_sharded_pallas(
     return dense.MatchResult(disparity=disp, valid=valid, cost=cbest)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "pyr", "mesh", "tile_rows", "interpret"),
+)
+def match_hierarchical_sharded(
+    left,
+    right,
+    cfg: MatchConfig = MatchConfig(),
+    pyr=None,
+    mesh: Optional[Mesh] = None,
+    tile_rows: int = 32,
+    interpret: Optional[bool] = None,
+) -> dense.MatchResult:
+    """The flagship hierarchical matcher sharded over the mesh ``tile`` axis:
+    every pyramid level runs its Pallas kernel on the local row shard extended
+    by an exchanged halo, with cost clipping at *global* image rows. The
+    2×2 pyramid downsampling is shard-local (shard heights must divide by
+    2^(levels−1)), so no cross-device traffic outside the halo ppermutes."""
+    from stepth_tpu.config import PyramidConfig
+    from stepth_tpu.match import pallas_dense, pallas_refine, pallas_post
+    from stepth_tpu.match import pyramid as pyr_mod
+
+    if pyr is None:
+        pyr = PyramidConfig()
+    if mesh is None:
+        from stepth_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    left = jnp.asarray(left, jnp.float32)
+    right = jnp.asarray(right, jnp.float32)
+    h = left.shape[0]
+    ntile = mesh.shape["tile"]
+    scale = 1 << (pyr.levels - 1)
+    if h % ntile != 0:
+        raise ValueError(f"H={h} not divisible by tile axis {ntile}")
+    th = h // ntile
+    if th % scale != 0:
+        raise ValueError(f"shard height {th} not divisible by 2^(levels-1)={scale}")
+    halo = 8  # ≥ box radius, sublane-aligned; kernels mask at global rows
+    if th // scale < halo:
+        raise ValueError(f"coarsest shard height {th // scale} < halo {halo}")
+
+    def shard_fn(l_blk, r_blk):
+        idx = lax.axis_index("tile")
+        lg = dense.grayscale(l_blk)
+        rg = dense.grayscale(r_blk)
+        lefts, rights = [lg], [rg]
+        for _ in range(pyr.levels - 1):
+            lefts.append(pyr_mod.downsample2(lefts[-1]))
+            rights.append(pyr_mod.downsample2(rights[-1]))
+
+        coarse_cfg = MatchConfig(
+            num_disparities=pyr.coarsest_disparities,
+            window=cfg.window,
+            cost="sad",
+            subpixel=cfg.subpixel,
+            lr_threshold=None,
+        )
+        lvl = pyr.levels - 1
+        th_l = th >> lvl
+        h_l = h >> lvl
+        l_ext = _with_halo(lefts[-1], halo, "tile", edge="replicate")
+        r_ext = _with_halo(rights[-1], halo, "tile", edge="replicate")
+        disp, _, _, _ = pallas_dense.raw_match(
+            l_ext, r_ext, coarse_cfg, tile_rows=8, interpret=interpret,
+            g_row0=idx * th_l - halo, g_h=h_l,
+        )
+        disp = disp[halo : halo + th_l]
+
+        max_base = pyr.coarsest_disparities
+        for lvl in range(pyr.levels - 2, -1, -1):
+            th_l = th >> lvl
+            h_l = h >> lvl
+            prior = pyr_mod.upsample2_disparity(disp, th_l, lefts[lvl].shape[1])
+            max_base = max_base * 2
+            l_ext = _with_halo(lefts[lvl], halo, "tile", edge="replicate")
+            r_ext = _with_halo(rights[lvl], halo, "tile", edge="replicate")
+            p_ext = _with_halo(prior, halo, "tile", edge="replicate")
+            d_full = pallas_refine.refine_level_shard(
+                l_ext, r_ext, p_ext, cfg, pyr.refine_radius, max_base,
+                min(tile_rows, max(8, th_l)), interpret,
+                g_row0=idx * th_l - halo, g_h=h_l,
+            )
+            disp = d_full[halo : halo + th_l]
+
+        d_ext = _with_halo(disp, halo, "tile", edge="replicate")
+        med = pallas_post.median3_pallas(d_ext, interpret=interpret)
+        disp = med[halo : halo + th]
+        return disp
+
+    spec = P("tile", None) if left.ndim == 2 else P("tile", None, None)
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(spec, spec),
+        out_specs=P("tile", None),
+        check_vma=False,
+    )
+    disp = fn(left, right)
+    return dense.MatchResult(
+        disparity=disp, valid=disp >= 0, cost=jnp.zeros_like(disp)
+    )
+
+
 @partial(jax.jit, static_argnames=("mesh",))
 def normalize_depth_sharded(raw_depth, mesh: Optional[Mesh] = None):
     """Global max-normalization of a sharded raw depth map — the reference's

@@ -93,3 +93,23 @@ def test_sharded_pallas_equals_single(rng):
     np.testing.assert_allclose(
         np.asarray(ref.disparity), np.asarray(got.disparity), atol=1e-5
     )
+
+
+def test_sharded_hierarchical_recovers_shift(rng):
+    from stepth_tpu.config import PyramidConfig
+    from stepth_tpu.parallel.sharded import match_hierarchical_sharded
+
+    shift = 6
+    left, right = make_pair(rng, h=128, w=256, shift=shift)
+    m = mesh_mod.make_mesh(data=1, tile=2)
+    res = match_hierarchical_sharded(
+        left,
+        right,
+        MatchConfig(num_disparities=32, window=9),
+        PyramidConfig(levels=3, refine_radius=4, coarsest_disparities=8),
+        m,
+        interpret=True,
+    )
+    d = np.asarray(res.disparity)
+    err = np.abs(d[16:-16, 24:-24] - shift)
+    assert np.median(err) <= 1.0
