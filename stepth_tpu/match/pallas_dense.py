@@ -77,10 +77,11 @@ def _kernel(
     g_row0 = g_row0_ref[0]
     S = TH + 2 * RV
     i = pl.program_id(0)
-    # TH, RV, H are all multiples of 8 (enforced by the caller) so every
-    # clip outcome is sublane-aligned; the hint lets Mosaic prove it for DMA.
-    start = pl.multiple_of(jnp.clip(i * TH - RV, 0, H - S), 8)
-    center0 = i * TH - start  # slab row where the output tile begins
+    # The caller pads the input with RV rows top and bottom, so every slab is
+    # interior: start = i*TH in padded coords (multiple of 8 — aligned DMA),
+    # the output tile always begins at slab row RV, and all box-sum roll
+    # offsets (≤ RV) stay wrap-free for the extracted rows.
+    start = pl.multiple_of(i * TH, 8)
 
     def body(l_slab, r_slab, sem_l, sem_r):
         if nplanes:
@@ -110,19 +111,41 @@ def _kernel(
         cols = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
         rbox = win // 2
 
-        # vertical window row-shift masks: contribution of slab row k+j at k
-        vmasks = []
-        for j in range(-rbox, rbox + 1):
-            ok = (rows + j >= 0) & (rows + j < S)
-            ok &= (start + rows + j >= 0) & (start + rows + j < Hr)
-            gr = g_row0 + start + rows + j  # global image row
-            ok &= (gr >= 0) & (gr < g_h)
-            vmasks.append(ok.astype(jnp.float32))
-        # horizontal window col-shift masks
-        hmasks = [
-            ((cols + m >= 0) & (cols + m < Wr)).astype(jnp.float32)
-            for m in range(-rbox, rbox + 1)
-        ]
+        # Cost is zeroed ONCE at the source (out-of-image rows/cols contribute
+        # nothing — the zero-pad clipping of dense.box_aggregate), so the box
+        # sums below need no per-offset masks. The caller's padding guarantees
+        # every roll the extracted rows/cols depend on is wrap-free: vertical
+        # margin RV ≥ rbox+1 rows each side, horizontal margin win//2 cols of
+        # zeroed cost before any wrap reaches a real column.
+        lrow = start + rows - RV  # local (unpadded-input) row of slab row k
+        vz = (lrow >= 0) & (lrow < Hr)
+        gr = g_row0 + lrow
+        vz &= (gr >= 0) & (gr < g_h)
+        zero_mask = vz.astype(jnp.float32) * (cols < Wr).astype(jnp.float32)
+
+        def box_sum(cost):
+            cost = cost * zero_mask
+            if win == 9:  # two-stage 3×3 decomposition: 6 rolls per axis
+                y = cost
+                for sh in (1, S - 1):
+                    y = y + pltpu.roll(cost, sh, axis=0)
+                z = y
+                for sh in (3, S - 3):
+                    z = z + pltpu.roll(y, sh, axis=0)
+                y = z
+                for sh in (1, W - 1):
+                    y = y + pltpu.roll(z, sh, axis=1)
+                z = y
+                for sh in (3, W - 3):
+                    z = z + pltpu.roll(y, sh, axis=1)
+                return z
+            aggv = jnp.zeros_like(cost)
+            for j in range(-rbox, rbox + 1):
+                aggv = aggv + pltpu.roll(cost, (-j) % S, axis=0)
+            agg = jnp.zeros_like(aggv)
+            for mshift in range(-rbox, rbox + 1):
+                agg = agg + pltpu.roll(aggv, (-mshift) % W, axis=1)
+            return agg
 
         def dloop(d, carry):
             best, bestd, cm1, cb, cp1, prev, bestr, bestrd = carry
@@ -143,15 +166,8 @@ def _kernel(
                 rs = jnp.where(cols < d, redge, rs)  # edge-replicate (x−d < 0)
                 cost = jnp.abs(l - rs)  # [S, W]
 
-            # pltpu.roll requires non-negative shifts: roll(x, -k) == roll(x, n-k)
-            aggv = jnp.zeros_like(cost)
-            for j, m in zip(range(-rbox, rbox + 1), vmasks):
-                aggv = aggv + m * pltpu.roll(cost, (-j) % S, axis=0)
-            agg = jnp.zeros_like(aggv)
-            for mshift, m in zip(range(-rbox, rbox + 1), hmasks):
-                agg = agg + m * pltpu.roll(aggv, (-mshift) % W, axis=1)
-
-            aggc = pltpu.roll(agg, (S - center0) % S, axis=0)[:TH]  # output rows
+            agg = box_sum(cost)
+            aggc = agg[RV : RV + TH]  # output rows (static: tiles are interior)
 
             # left WTA with subpixel neighbor tracking
             upd = aggc < best
@@ -268,12 +284,12 @@ def raw_match(
     tile_rows = _round_up(tile_rows, 8)
 
     # pad to tile/lane-friendly shapes (edge-replicate, sliced off afterwards)
-    wp = _round_up(w, 128)
+    # horizontal margin win//2 of (zero-masked) columns keeps box-sum rolls
+    # wrap-free; vertical: RV rows of padding each side make every slab interior
+    wp = _round_up(w + cfg.window // 2, 128)
     hp = _round_up(h, tile_rows)
-    if hp < tile_rows + 2 * RV:
-        hp = _round_up(tile_rows + 2 * RV, tile_rows)
-    lg_p = jnp.pad(lg, ((0, hp - h), (0, wp - w)), mode="edge")
-    rg_p = jnp.pad(rg, ((0, hp - h), (0, wp - w)), mode="edge")
+    lg_p = jnp.pad(lg, ((RV, RV + hp - h), (0, wp - w)), mode="edge")
+    rg_p = jnp.pad(rg, ((RV, RV + hp - h), (0, wp - w)), mode="edge")
 
     nplanes = 0
     if cfg.cost == "census":

@@ -73,8 +73,8 @@ def _refine_kernel(
     BW = PADB + _TW + 2 * _EB + 128  # right-block width
     CW = _TW + 2 * _EB  # cost-region width
     i = pl.program_id(0)
-    start = pl.multiple_of(jnp.clip(i * TH - RV, 0, Hp - S), 8)
-    center0 = i * TH - start
+    # caller pads the input with RV rows top and bottom → slabs are interior
+    start = pl.multiple_of(i * TH, 8)
     rbox = win // 2
 
     def body(l_slab, r_slab, sem_l, sem_r):
@@ -88,15 +88,14 @@ def _refine_kernel(
         rows = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
         ccols = jax.lax.broadcasted_iota(jnp.int32, (1, CW), 1)  # cost-region cols
 
-        # vertical box masks (clip at local pad bounds AND global image rows)
-        vmasks = []
-        for j in range(-rbox, rbox + 1):
-            ok = (rows + j >= 0) & (rows + j < S)
-            lr_ = start + rows + j  # local (unpadded-input) row
-            ok &= (lr_ >= 0) & (lr_ < Hr)
-            gr = g_row0 + lr_  # global image row
-            ok &= (gr >= 0) & (gr < g_h)
-            vmasks.append(ok.astype(jnp.float32))
+        # stage-0 row zero-mask (out-of-image rows contribute nothing); box
+        # rolls are then unmasked and wrap-free (interior slabs, RV ≥ rbox+1,
+        # EB=128 horizontal margin)
+        lrow = start + rows - RV  # local (unpadded-input) row of slab row k
+        vz = (lrow >= 0) & (lrow < Hr)
+        gr = g_row0 + lrow
+        vz &= (gr >= 0) & (gr < g_h)
+        vzero = vz.astype(jnp.float32)
 
         def col_tile(jc, _):
             base_t = base_ref[i, jc]
@@ -122,19 +121,34 @@ def _refine_kernel(
                 rsamp = rsh[:, PADB : PADB + CW]
                 cost = jnp.abs(lblock - rsamp)
                 xs = x_real - s  # sampled real col
-                bad = (xs < 0) | (xs >= Wr) | (x_real < 0) | (x_real >= Wr)
+                bad = (xs < 0) | (xs >= Wr)
                 cost = jnp.where(bad, 1e6, cost)  # matches XLA refiner's inb mask
+                # stage-0 zeroing: out-of-image rows/cols contribute nothing
+                cost = cost * vzero * ((x_real >= 0) & (x_real < Wr)).astype(
+                    jnp.float32
+                )
 
-                aggv = jnp.zeros_like(cost)
-                for j, m in zip(range(-rbox, rbox + 1), vmasks):
-                    aggv = aggv + m * pltpu.roll(cost, (-j) % S, axis=0)
-                agg = jnp.zeros_like(aggv)
-                for mshift in range(-rbox, rbox + 1):
-                    hm = ((x_real + mshift >= 0) & (x_real + mshift < Wr)).astype(
-                        jnp.float32
-                    )
-                    agg = agg + hm * pltpu.roll(aggv, (-mshift) % CW, axis=1)
-                aggc = pltpu.roll(agg, (S - center0) % S, axis=0)[:TH]
+                if win == 9:  # two-stage 3×3: 6 rolls per axis
+                    y = cost
+                    for sh in (1, S - 1):
+                        y = y + pltpu.roll(cost, sh, axis=0)
+                    aggv = y
+                    for sh in (3, S - 3):
+                        aggv = aggv + pltpu.roll(y, sh, axis=0)
+                    y = aggv
+                    for sh in (1, CW - 1):
+                        y = y + pltpu.roll(aggv, sh, axis=1)
+                    agg = y
+                    for sh in (3, CW - 3):
+                        agg = agg + pltpu.roll(y, sh, axis=1)
+                else:
+                    aggv = jnp.zeros_like(cost)
+                    for j in range(-rbox, rbox + 1):
+                        aggv = aggv + pltpu.roll(cost, (-j) % S, axis=0)
+                    agg = jnp.zeros_like(aggv)
+                    for mshift in range(-rbox, rbox + 1):
+                        agg = agg + pltpu.roll(aggv, (-mshift) % CW, axis=1)
+                aggc = agg[RV : RV + TH]
 
                 oi = o + R
                 upd = aggc < best
@@ -203,13 +217,12 @@ def refine_level(
 
     wp = _round_up(w, _TW)
     hp = _round_up(h, tile_rows)
-    if hp < tile_rows + 2 * RV:
-        hp = _round_up(tile_rows + 2 * RV, tile_rows)
     nc = wp // _TW
     Wp = PADL + wp + PADR
 
-    lg_p = jnp.pad(left_g, ((0, hp - h), (PADL, PADR + wp - w)), mode="edge")
-    rg_p = jnp.pad(right_g, ((0, hp - h), (PADL, PADR + wp - w)), mode="edge")
+    # RV rows of padding top and bottom keep every kernel slab interior
+    lg_p = jnp.pad(left_g, ((RV, RV + hp - h), (PADL, PADR + wp - w)), mode="edge")
+    rg_p = jnp.pad(right_g, ((RV, RV + hp - h), (PADL, PADR + wp - w)), mode="edge")
     prior_p = jnp.pad(prior, ((0, hp - h), (0, wp - w)), mode="edge")
     base = tile_base_from_prior(prior_p, tile_rows, max_base)
 
