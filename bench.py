@@ -179,9 +179,15 @@ def main():
         return time.perf_counter() - t0, out
 
     chain(2)  # warm
-    t1, _ = chain(4)
-    t2, out = chain(24)
-    per_frame = max((t2 - t1) / 20, 1e-9)
+    # The two-point difference is noisy when a host-scheduling transient lands
+    # in the short chain; repeat and take the median per-frame estimate.
+    estimates = []
+    out = None
+    for _ in range(3):
+        t1, _ = chain(10)
+        t2, out = chain(60)
+        estimates.append(max((t2 - t1) / 50, 1e-9))
+    per_frame = sorted(estimates)[1]
     fps = 1.0 / per_frame
     print(
         f"[bench] tpu 1080p hierarchical-pallas (eff. D=128): {fps:.2f} frames/s"

@@ -11,9 +11,10 @@ VMEM-resident:
 
 * disparity shift          = ``pltpu.roll`` along lanes + edge-replicate mask
   (identical to the XLA path's edge-padded shift);
-* box aggregation          = 2·(window) masked rolls (vertical then
-  horizontal), masks from global row/col indices so image-border clipping
-  matches :func:`dense.box_aggregate` exactly;
+* box aggregation          = unmasked rolls over cost that was zero-masked
+  once at the source (out-of-image rows/cols), exactly the zero-pad clipping
+  of :func:`dense.box_aggregate`; input padding keeps every roll wrap-free,
+  and window 9 uses an exact two-stage 3×3 decomposition (6 rolls per axis);
 * WTA + subpixel neighbors = running (best, argbest, c[d−1], c[d], c[d+1])
   carried through the disparity ``fori_loop``;
 * right-view disparity     = the same aggregated slice rolled by −d
@@ -64,6 +65,7 @@ def _kernel(
     lr_threshold,
     g_h=None,
     nplanes=0,
+    squared=False,
 ):
     """``H``/``W`` are the padded slab dims; ``Hr``/``Wr`` the real image dims —
     window-clipping masks use the real dims so borders match the XLA path.
@@ -164,7 +166,8 @@ def _kernel(
             else:
                 rs = pltpu.roll(r, d, axis=1)
                 rs = jnp.where(cols < d, redge, rs)  # edge-replicate (x−d < 0)
-                cost = jnp.abs(l - rs)  # [S, W]
+                diff = l - rs
+                cost = diff * diff if squared else jnp.abs(diff)  # [S, W]
 
             agg = box_sum(cost)
             aggc = agg[RV : RV + TH]  # output rows (static: tiles are interior)
@@ -270,7 +273,7 @@ def raw_match(
     """Run the fused kernel on gray f32 images; returns
     ``(disp, disp_r, cbest, valid)`` full-size, pre-epilogue. ``g_row0``/``g_h``
     mark the global row window when ``lg`` is a halo-extended row shard."""
-    if cfg.cost not in ("sad", "census"):
+    if cfg.cost not in ("sad", "ssd", "census"):
         raise NotImplementedError(f"pallas matcher: cost {cfg.cost!r} unsupported")
     if cfg.uniqueness is not None:
         raise NotImplementedError("uniqueness check not in the pallas path yet")
@@ -314,6 +317,7 @@ def raw_match(
         lr_threshold=None if cfg.lr_threshold is None else float(cfg.lr_threshold),
         g_h=g_h,
         nplanes=nplanes,
+        squared=cfg.cost == "ssd",
     )
     out_shape = [
         jax.ShapeDtypeStruct((hp, wp), jnp.float32),  # disparity

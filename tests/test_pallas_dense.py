@@ -45,9 +45,17 @@ def test_pallas_unaligned_shapes(rng):
     )
 
 
+def test_pallas_ssd_matches_dense(rng):
+    left, right = make_pair(rng, h=48, w=160, shift=5)
+    cfg = MatchConfig(num_disparities=16, window=9, cost="ssd", lr_threshold=1.0)
+    ref = dense.match_pair(left, right, cfg)
+    got = pallas_dense.match_pair_pallas(left, right, cfg, interpret=True)
+    _assert_close_results(ref, got)
+
+
 def test_pallas_rejects_unsupported_cost(rng):
     left, right = make_pair(rng, h=48, w=160, shift=5)
-    cfg = MatchConfig(num_disparities=16, cost="ssd")
+    cfg = MatchConfig(num_disparities=16, cost="rank")
     with pytest.raises(NotImplementedError):
         pallas_dense.match_pair_pallas(left, right, cfg, interpret=True)
 
