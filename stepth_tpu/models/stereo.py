@@ -16,7 +16,7 @@ Backends:
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import numpy as np
