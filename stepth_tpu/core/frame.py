@@ -75,19 +75,34 @@ class DepthFrame:
         """reference src/depth_image.rs:65-74."""
         return self.with_depth(_io.open_luma(path))
 
-    def open_depth_from_additional(self, path, precision) -> "DepthFrame":
+    def open_depth_from_additional(self, path, precision, method: str = "parity") -> "DepthFrame":
         """reference src/depth_image.rs:76-89."""
-        return self.load_depth_from_additional(_io.open_rgb(path), precision)
+        return self.load_depth_from_additional(_io.open_rgb(path), precision, method)
 
-    def load_depth_from_additional(self, add_image, precision) -> "DepthFrame":
-        """The core pipeline (reference src/depth_image.rs:91-136), JAX path."""
-        from stepth_tpu.match import parity
+    def load_depth_from_additional(
+        self, add_image, precision, method: str = "parity"
+    ) -> "DepthFrame":
+        """The core pipeline (reference src/depth_image.rs:91-136).
 
-        depth = parity.depth_from_additional(
-            _io.rgba_to_rgb(np.asarray(self.image)),
-            np.asarray(add_image, dtype=np.uint8)[..., :3],
-            precision=precision,
-        )
+        ``method``: ``"parity"`` (default — bit-exact reference semantics on
+        device), ``"native"`` (C++ host engine, same output), or any
+        :class:`stepth_tpu.models.StereoModel` backend name (``"dense"``,
+        ``"pallas"``, ``"hierarchical"``, ``"hierarchical-pallas"``) for the
+        production rectified-stereo path (disparity scaled to u8 depth)."""
+        main_rgb = _io.rgba_to_rgb(np.asarray(self.image))
+        add_rgb = np.asarray(add_image, dtype=np.uint8)[..., :3]
+        if method == "parity":
+            from stepth_tpu.match import parity
+
+            depth = parity.depth_from_additional(main_rgb, add_rgb, precision=precision)
+        elif method == "native":
+            from stepth_tpu import native
+
+            depth = native.depth_from_additional(main_rgb, add_rgb, precision)
+        else:
+            from stepth_tpu.models import StereoModel
+
+            depth = StereoModel(backend=method).depth_u8(main_rgb, add_rgb)
         return self.with_depth(np.asarray(depth))
 
     # -- depth utilities (reference parity surface) ---------------------------

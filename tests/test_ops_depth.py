@@ -27,3 +27,23 @@ def test_slice_mask_bounds(rng):
     np.testing.assert_array_equal(got, exp)
     # None defaults (reference :230-231)
     np.testing.assert_array_equal(np.asarray(d.slice_mask(dep, None, None)), np.full((10, 12), 255, np.uint8))
+
+
+def test_frame_depth_method_backends(rng):
+    """DepthFrame.load_depth_from_additional supports the production backends."""
+    import jax.numpy as jnp
+    from stepth_tpu import DepthFrame
+
+    tex = rng.uniform(0, 255, (48, 132, 3)).astype(np.uint8)
+    main = tex[:, :128]
+    add = tex[:, 4:]
+    f = DepthFrame.from_array(main)
+    d_dense = f.load_depth_from_additional(add, (36,) * 3, method="dense")
+    assert d_dense.depth.shape == (48, 128)
+    assert np.asarray(d_dense.depth).max() > 0
+    if True:  # native path when toolchain present
+        from stepth_tpu import native
+
+        if native.available():
+            d_nat = f.load_depth_from_additional(add, (36,) * 3, method="native")
+            assert d_nat.depth.shape == (48, 128)
