@@ -81,6 +81,88 @@ def _median_kernel(x_hbm, out_ref, *, H, W, Hr, Wr, TH, RV):
     )
 
 
+def _lr_kernel(x_hbm, y_hbm, out_ref, *, W, Wr, D, TH, threshold):
+    """Row-tile LR sweep: valid(x) ⇔ |dL(x) − dR(round(x−dL(x)))| ≤ threshold,
+    evaluated gather-free as D static-shift selections (same formulation as
+    dense.lr_consistency)."""
+    i = pl.program_id(0)
+    start = pl.multiple_of(i * TH, 8)
+
+    def body(dl_slab, dr_slab, sem_l, sem_r):
+        cp_l = pltpu.make_async_copy(x_hbm.at[pl.ds(start, TH)], dl_slab, sem_l)
+        cp_r = pltpu.make_async_copy(y_hbm.at[pl.ds(start, TH)], dr_slab, sem_r)
+        cp_l.start()
+        cp_r.start()
+        cp_l.wait()
+        cp_r.wait()
+        dl = dl_slab[:]
+        dr = dr_slab[:]
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+        colf = cols.astype(jnp.float32)
+        wmax = jnp.float32(Wr - 1)
+        xr = jnp.clip(jnp.round(colf - dl), 0.0, wmax)
+        dredge = dr[:, :1]
+
+        def lr_body(d, ok):
+            dr_s = pltpu.roll(dr, d, axis=1)
+            dr_s = jnp.where(cols < d, dredge, dr_s)
+            sel = xr == jnp.clip(colf - d.astype(jnp.float32), 0.0, wmax)
+            hit = sel & (jnp.abs(dl - dr_s) <= threshold)
+            return jnp.maximum(ok, hit.astype(jnp.float32))
+
+        out_ref[:] = jax.lax.fori_loop(0, D, lr_body, jnp.zeros((TH, W), jnp.float32))
+
+    pl.run_scoped(
+        body,
+        dl_slab=pltpu.VMEM((TH, W), jnp.float32),
+        dr_slab=pltpu.VMEM((TH, W), jnp.float32),
+        sem_l=pltpu.SemaphoreType.DMA,
+        sem_r=pltpu.SemaphoreType.DMA,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_disparities", "threshold", "tile_rows", "interpret")
+)
+def lr_consistency_pallas(
+    disp_l,
+    disp_r,
+    threshold: float = 1.0,
+    num_disparities: int = 128,
+    tile_rows: int = 64,
+    interpret: Optional[bool] = None,
+):
+    """Pallas twin of :func:`stepth_tpu.match.dense.lr_consistency` (bool[H,W])."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    disp_l = jnp.asarray(disp_l, jnp.float32)
+    disp_r = jnp.asarray(disp_r, jnp.float32)
+    h, w = disp_l.shape
+    tile_rows = _round_up(tile_rows, 8)
+    wp = _round_up(w, 128)
+    hp = _round_up(h, tile_rows)
+    dl_p = jnp.pad(disp_l, ((0, hp - h), (0, wp - w)), mode="edge")
+    dr_p = jnp.pad(disp_r, ((0, hp - h), (0, wp - w)), mode="edge")
+    kern = functools.partial(
+        _lr_kernel, W=wp, Wr=w, D=num_disparities, TH=tile_rows,
+        threshold=float(threshold),
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(hp // tile_rows,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_rows, wp), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+        interpret=interpret,
+    )(dl_p, dr_p)
+    return out[:h, :w] > 0.5
+
+
 @functools.partial(jax.jit, static_argnames=("tile_rows", "interpret"))
 def median3_pallas(
     x, tile_rows: int = 64, interpret: Optional[bool] = None

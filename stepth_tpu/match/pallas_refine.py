@@ -281,7 +281,7 @@ def refine_level_shard(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "pyr", "tile_rows", "interpret")
+    jax.jit, static_argnames=("cfg", "pyr", "tile_rows", "interpret", "lr_check")
 )
 def match_hierarchical_pallas(
     left,
@@ -290,11 +290,41 @@ def match_hierarchical_pallas(
     pyr: PyramidConfig = PyramidConfig(),
     tile_rows: int = 32,
     interpret: Optional[bool] = None,
+    lr_check: bool = False,
 ) -> dense.MatchResult:
     """Coarse-to-fine matching, all levels on Pallas kernels: fused dense
     matcher at the coarsest level, tile-base refine kernel per finer level.
     Effective range ≈ coarsest_disparities × 2^(levels−1) at a per-level cost
-    of (2R+1) candidates."""
+    of (2R+1) candidates.
+
+    ``lr_check``: also match the mirrored pair (right-view disparity via
+    horizontal flips — ~2× runtime) and mark pixels failing the left-right
+    consistency test invalid, filling them from their scanline neighbors."""
+    if lr_check:
+        res_l = match_hierarchical_pallas(
+            left, right, cfg, pyr, tile_rows, interpret, lr_check=False
+        )
+        # dR(u) for right(u) = left(u + dR): run the left-matcher on the
+        # horizontally flipped, role-swapped pair and flip the result back
+        res_r = match_hierarchical_pallas(
+            jnp.asarray(right)[..., ::-1] if jnp.asarray(right).ndim == 2
+            else jnp.asarray(right)[:, ::-1],
+            jnp.asarray(left)[..., ::-1] if jnp.asarray(left).ndim == 2
+            else jnp.asarray(left)[:, ::-1],
+            cfg, pyr, tile_rows, interpret, lr_check=False,
+        )
+        from stepth_tpu.match import pallas_post
+
+        disp_r = res_r.disparity[:, ::-1]
+        d_eff = pyr.coarsest_disparities << (pyr.levels - 1)
+        thr = 1.0 if cfg.lr_threshold is None else float(cfg.lr_threshold)
+        valid = pallas_post.lr_consistency_pallas(
+            res_l.disparity, disp_r, thr, d_eff, interpret=interpret
+        )
+        disp = dense.fill_invalid(res_l.disparity, valid)
+        disp = pallas_post.median3_pallas(disp, interpret=interpret)
+        return dense.MatchResult(disparity=disp, valid=valid, cost=res_l.cost)
+
     from stepth_tpu.match import pyramid as pyr_mod
 
     lg = dense.grayscale(left)

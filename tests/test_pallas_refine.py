@@ -44,3 +44,32 @@ def test_tile_base_from_prior_clamps():
     base = pallas_refine.tile_base_from_prior(prior, 32, 64)
     assert base.shape == (1, 2)
     assert (np.asarray(base) == 64).all()
+
+
+def test_hierarchical_lr_check(rng):
+    """LR-checked hierarchical: consistent interior survives, disparity still
+    recovers the shift, and the LR kernel matches the XLA formulation."""
+    import jax.numpy as jnp
+    from stepth_tpu.match import dense, pallas_post
+
+    shift = 8
+    left, right = make_pair(rng, h=64, w=256, shift=shift)
+    res = pallas_refine.match_hierarchical_pallas(
+        left,
+        right,
+        MatchConfig(num_disparities=32, window=9, lr_threshold=1.0),
+        PyramidConfig(levels=3, refine_radius=4, coarsest_disparities=8),
+        interpret=True,
+        lr_check=True,
+    )
+    inner = np.asarray(res.valid)[10:-10, 40:-40]
+    assert inner.mean() > 0.9  # consistent texture: mostly valid
+    err = np.abs(np.asarray(interior(res.disparity, 12)) - shift)
+    assert np.median(err) <= 1.0
+
+    # LR kernel == XLA sweep on random disparity maps
+    dl = jnp.asarray(rng.uniform(0, 15, (32, 130)).astype(np.float32))
+    dr = jnp.asarray(rng.uniform(0, 15, (32, 130)).astype(np.float32))
+    want = np.asarray(dense.lr_consistency(dl, dr, 1.0, 16))
+    got = np.asarray(pallas_post.lr_consistency_pallas(dl, dr, 1.0, 16, interpret=True))
+    np.testing.assert_array_equal(want, got)
