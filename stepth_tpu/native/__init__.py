@@ -55,6 +55,13 @@ def _build() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p,
     ]
+    lib.stepth_hier_disparity.restype = ctypes.c_int
+    lib.stepth_hier_disparity.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p,
+    ]
     return lib
 
 
@@ -130,3 +137,34 @@ def depth_from_additional(
         else ((raw.astype(np.uint64) * 255) // m).astype(np.uint8)
     )
     return resample_exact_np(norm, raw.shape[0], raw.shape[1], "gaussian")
+
+
+def hier_disparity(
+    left: np.ndarray,
+    right: np.ndarray,
+    levels: int = 4,
+    coarsest_disparities: int = 16,
+    refine_radius: int = 4,
+    window: int = 9,
+    n_threads: int = 8,
+) -> np.ndarray:
+    """Multithreaded C++ hierarchical matcher — the same coarse-to-fine
+    pipeline bench.py measures on TPU, serving as the honest CPU baseline
+    (the reference would have been compiled Rust + 8-way rayon,
+    reference src/depth_image.rs:111-123, Cargo.toml:12)."""
+    lib = _get()
+    if lib is None:
+        raise RuntimeError(f"native engine unavailable: {_build_error}")
+    left = np.ascontiguousarray(left, dtype=np.float32)
+    right = np.ascontiguousarray(right, dtype=np.float32)
+    h, w = left.shape
+    out = np.empty((h, w), dtype=np.float32)
+    rc = lib.stepth_hier_disparity(
+        left.ctypes.data, right.ctypes.data, h, w,
+        int(levels), int(coarsest_disparities), int(refine_radius),
+        int(window), int(n_threads),
+        out.ctypes.data,
+    )
+    if rc != 0:
+        raise RuntimeError(f"stepth_hier_disparity failed rc={rc}")
+    return out

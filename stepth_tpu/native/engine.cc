@@ -118,11 +118,172 @@ static uint32_t ring_search(const uint8_t* add, int ah, int aw,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Multithreaded hierarchical matcher — the honest CPU baseline for bench.py.
+//
+// Same pipeline the TPU headline measures (coarse dense SAD + per-level
+// refinement around the upsampled prior, box-window aggregation, WTA), written
+// the way a performance-minded CPU implementation would be: sliding-window box
+// sums (O(1) per pixel), per-disparity cost planes that never materialize the
+// full volume, and a std::thread row-band pool in rayon's role (the reference
+// fans out 8 ways, src/depth_image.rs:111-123).
+// ---------------------------------------------------------------------------
+
+// Run fn(t) on n_threads threads (fn receives the thread index).
+template <typename F>
+static void run_threads(int n_threads, F fn) {
+  std::vector<std::thread> pool;
+  for (int t = 1; t < n_threads; ++t) pool.emplace_back(fn, t);
+  fn(0);
+  for (auto& th : pool) th.join();
+}
+
+// Separable box sum with zero-outside clipping (matches dense.box_aggregate):
+// horizontal pass rows-parallel, vertical pass column-band-parallel.
+static void box_sum_plane(const float* in, float* tmp, float* out, int h, int w,
+                          int r, int n_threads) {
+  run_threads(n_threads, [&](int t) {
+    for (int y = t; y < h; y += n_threads) {
+      const float* row = in + size_t(y) * w;
+      float* orow = tmp + size_t(y) * w;
+      double s = 0;
+      for (int x = 0; x < r && x < w; ++x) s += row[x];
+      for (int x = 0; x < w; ++x) {
+        if (x + r < w) s += row[x + r];
+        orow[x] = float(s);
+        if (x - r >= 0) s -= row[x - r];
+      }
+    }
+  });
+  const int band = (w + n_threads - 1) / n_threads;
+  run_threads(n_threads, [&](int t) {
+    const int x0 = t * band, x1 = x0 + band < w ? x0 + band : w;
+    if (x0 >= x1) return;
+    std::vector<double> s(x1 - x0, 0.0);
+    for (int y = 0; y < r && y < h; ++y)
+      for (int x = x0; x < x1; ++x) s[x - x0] += tmp[size_t(y) * w + x];
+    for (int y = 0; y < h; ++y) {
+      if (y + r < h)
+        for (int x = x0; x < x1; ++x) s[x - x0] += tmp[size_t(y + r) * w + x];
+      float* orow = out + size_t(y) * w;
+      for (int x = x0; x < x1; ++x) orow[x] = float(s[x - x0]);
+      if (y - r >= 0)
+        for (int x = x0; x < x1; ++x) s[x - x0] -= tmp[size_t(y - r) * w + x];
+    }
+  });
+}
+
 }  // namespace
 
 extern "C" {
 
 int stepth_native_version() { return 1; }
+
+// Hierarchical coarse-to-fine disparity (the bench.py pipeline) on f32 gray
+// images. out_disp[h*w] receives the full-resolution disparity. 0 on success.
+int stepth_hier_disparity(const float* left, const float* right, int h, int w,
+                          int levels, int coarse_disp, int radius, int window,
+                          int n_threads, float* out_disp) {
+  if (h <= 0 || w <= 0 || levels < 1) return 1;
+  if (n_threads <= 0) n_threads = 8;
+  const int r = window / 2;
+
+  // pyramid (2x2 mean pooling)
+  std::vector<std::vector<float>> ls(levels), rs(levels);
+  std::vector<int> hs(levels), ws(levels);
+  hs[0] = h; ws[0] = w;
+  ls[0].assign(left, left + size_t(h) * w);
+  rs[0].assign(right, right + size_t(h) * w);
+  for (int l = 1; l < levels; ++l) {
+    const int ph = hs[l - 1], pw = ws[l - 1];
+    hs[l] = ph / 2; ws[l] = pw / 2;
+    ls[l].resize(size_t(hs[l]) * ws[l]);
+    rs[l].resize(size_t(hs[l]) * ws[l]);
+    for (int img = 0; img < 2; ++img) {
+      const float* src = img ? rs[l - 1].data() : ls[l - 1].data();
+      float* dst = img ? rs[l].data() : ls[l].data();
+      run_threads(n_threads, [&](int t) {
+        for (int y = t; y < hs[l]; y += n_threads)
+          for (int x = 0; x < ws[l]; ++x)
+            dst[size_t(y) * ws[l] + x] =
+                0.25f * (src[size_t(2 * y) * pw + 2 * x] +
+                         src[size_t(2 * y) * pw + 2 * x + 1] +
+                         src[size_t(2 * y + 1) * pw + 2 * x] +
+                         src[size_t(2 * y + 1) * pw + 2 * x + 1]);
+      });
+    }
+  }
+
+  // coarse dense SAD over coarse_disp shifts
+  const int ch = hs[levels - 1], cw = ws[levels - 1];
+  const size_t cn = size_t(ch) * cw;
+  std::vector<float> cost(cn), tmp(cn), agg(cn), best(cn, 1e30f);
+  std::vector<float> disp(cn);
+  for (int d = 0; d < coarse_disp; ++d) {
+    const float* L = ls[levels - 1].data();
+    const float* R = rs[levels - 1].data();
+    run_threads(n_threads, [&](int t) {
+      for (int y = t; y < ch; y += n_threads)
+        for (int x = 0; x < cw; ++x) {
+          int xs = x - d; if (xs < 0) xs = 0;  // edge replicate
+          cost[size_t(y) * cw + x] =
+              std::fabs(L[size_t(y) * cw + x] - R[size_t(y) * cw + xs]);
+        }
+    });
+    box_sum_plane(cost.data(), tmp.data(), agg.data(), ch, cw, r, n_threads);
+    run_threads(n_threads, [&](int t) {
+      for (size_t p = t; p < cn; p += size_t(n_threads))
+        if (agg[p] < best[p]) { best[p] = agg[p]; disp[p] = float(d); }
+    });
+  }
+
+  // refine levels: candidates base+o around the upsampled prior
+  for (int l = levels - 2; l >= 0; --l) {
+    const int lh = hs[l], lw = ws[l];
+    const size_t ln = size_t(lh) * lw;
+    std::vector<float> prior(ln);
+    run_threads(n_threads, [&](int t) {
+      for (int y = t; y < lh; y += n_threads)
+        for (int x = 0; x < lw; ++x) {
+          int py = y / 2; if (py >= hs[l + 1]) py = hs[l + 1] - 1;
+          int px = x / 2; if (px >= ws[l + 1]) px = ws[l + 1] - 1;
+          prior[size_t(y) * lw + x] = 2.0f * disp[size_t(py) * ws[l + 1] + px];
+        }
+    });
+    cost.resize(ln); tmp.resize(ln); agg.resize(ln);
+    std::vector<float> lbest(ln, 1e30f), ldisp(ln);
+    const float* L = ls[l].data();
+    const float* R = rs[l].data();
+    for (int o = -radius; o <= radius; ++o) {
+      run_threads(n_threads, [&](int t) {
+        for (int y = t; y < lh; y += n_threads)
+          for (int x = 0; x < lw; ++x) {
+            const size_t p = size_t(y) * lw + x;
+            const int s = int(std::lround(prior[p])) + o;
+            const int xs = x - s;
+            cost[p] = (xs < 0 || xs >= lw)
+                          ? 1e6f
+                          : std::fabs(L[p] - R[size_t(y) * lw + xs]);
+          }
+      });
+      box_sum_plane(cost.data(), tmp.data(), agg.data(), lh, lw, r, n_threads);
+      run_threads(n_threads, [&](int t) {
+        for (size_t p = t; p < ln; p += size_t(n_threads))
+          if (agg[p] < lbest[p]) {
+            lbest[p] = agg[p];
+            float dv = float(int(std::lround(prior[p])) + o);
+            if (dv < 0.f) dv = 0.f;
+            if (dv > float(lw - 1)) dv = float(lw - 1);
+            ldisp[p] = dv;
+          }
+      });
+    }
+    disp.swap(ldisp);
+  }
+
+  std::memcpy(out_disp, disp.data(), size_t(h) * w * sizeof(float));
+  return 0;
+}
 
 // Subdivide main_rgb, ring-search each leaf block in add_rgb, paint each leaf's
 // wrapped distance across its extent. Returns 0 on success.

@@ -62,3 +62,20 @@ def test_thread_counts_agree(rng):
     a = native.raw_disparity(main, add, prec, min_splits=8, n_threads=1)
     b = native.raw_disparity(main, add, prec, min_splits=8, n_threads=8)
     np.testing.assert_array_equal(a, b)
+
+
+def test_hier_disparity_recovers_shift():
+    """C++ hierarchical baseline (the bench.py CPU opponent): recovers a known
+    constant shift on smooth texture and is thread-count invariant."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import make_pair
+
+    left, right = make_pair(128, 256, shift=6, seed=3)
+    d1 = native.hier_disparity(left, right, levels=3, coarsest_disparities=8,
+                               refine_radius=4, window=9, n_threads=1)
+    d8 = native.hier_disparity(left, right, levels=3, coarsest_disparities=8,
+                               refine_radius=4, window=9, n_threads=8)
+    np.testing.assert_array_equal(d1, d8)
+    interior = d1[20:-20, 40:-40]
+    assert abs(float(np.median(interior)) - 6.0) <= 1.0
