@@ -66,6 +66,7 @@ def _kernel(
     g_h=None,
     nplanes=0,
     squared=False,
+    uniqueness=None,
 ):
     """``H``/``W`` are the padded slab dims; ``Hr``/``Wr`` the real image dims —
     window-clipping masks use the real dims so borders match the XLA path.
@@ -150,7 +151,7 @@ def _kernel(
             return agg
 
         def dloop(d, carry):
-            best, bestd, cm1, cb, cp1, prev, bestr, bestrd = carry
+            best, bestd, cm1, cb, cp1, prev, bestr, bestrd, runlag2, second = carry
 
             if nplanes:
                 # census: hamming distance summed over u32 planes
@@ -178,6 +179,18 @@ def _kernel(
             cm1 = jnp.where(upd, prev, cm1)
             cb = jnp.where(upd, aggc, cb)
             cp1 = jnp.where(is_next, aggc, cp1)
+
+            # second-best outside the ±1 exclusion zone (dense.wta uniqueness):
+            # on a new best at d, restart from min over [0, d-2] (= runlag2);
+            # otherwise accumulate costs with d > bestd + 1. Costs between an
+            # old best and a newer one re-enter through runlag2 at that update.
+            if uniqueness is not None:
+                far = jnp.logical_and(jnp.logical_not(upd), d > bestd + 1)
+                second = jnp.where(upd, runlag2, second)
+                second = jnp.where(far, jnp.minimum(second, aggc), second)
+                # now min over [0, d-1]; at d=0 `prev` is the init zero, skip
+                runlag2 = jnp.where(d >= 1, jnp.minimum(runlag2, prev), runlag2)
+
             best = jnp.where(upd, aggc, best)
             bestd = jnp.where(upd, d, bestd)
 
@@ -188,7 +201,7 @@ def _kernel(
             bestr = jnp.where(updr, aggr, bestr)
             bestrd = jnp.where(updr, d, bestrd)
 
-            return best, bestd, cm1, cb, cp1, aggc, bestr, bestrd
+            return best, bestd, cm1, cb, cp1, aggc, bestr, bestrd, runlag2, second
 
         zero = jnp.zeros((TH, W), jnp.float32)
         izero = jnp.zeros((TH, W), jnp.int32)
@@ -201,8 +214,10 @@ def _kernel(
             zero,  # prev agg
             zero + _BIG,  # bestR
             izero,  # bestRd
+            zero + _BIG,  # runlag2: min cost over [0, d-2]
+            zero + _BIG,  # second best outside the ±1 exclusion zone
         )
-        best, bestd, cm1, cb, cp1, _, bestr, bestrd = jax.lax.fori_loop(
+        best, bestd, cm1, cb, cp1, _, bestr, bestrd, _, second = jax.lax.fori_loop(
             0, D, dloop, init
         )
 
@@ -220,8 +235,15 @@ def _kernel(
         dispr_ref[:] = dispr
         cbest_ref[:] = cb
 
+        # uniqueness-ratio validity (dense.wta): best*(1+u) must beat the
+        # second-best cost outside the ±1 exclusion zone
+        uok = (
+            jnp.ones((TH, W), jnp.float32)
+            if uniqueness is None
+            else (cb * (1.0 + uniqueness) <= second).astype(jnp.float32)
+        )
         if lr_threshold is None:
-            valid_ref[:] = jnp.ones((TH, W), jnp.float32)
+            valid_ref[:] = uok
         else:
             # LR consistency, gather-free (same formulation as
             # dense.lr_consistency): sweep candidate integer shifts d and
@@ -241,7 +263,7 @@ def _kernel(
                 return jnp.maximum(ok, hit.astype(jnp.float32))
 
             ok = jax.lax.fori_loop(0, D, lr_body, jnp.zeros((TH, W), jnp.float32))
-            valid_ref[:] = ok
+            valid_ref[:] = ok * uok
 
     slab_ty = (
         pltpu.VMEM((nplanes, S, W), jnp.uint32)
@@ -275,8 +297,6 @@ def raw_match(
     mark the global row window when ``lg`` is a halo-extended row shard."""
     if cfg.cost not in ("sad", "ssd", "census"):
         raise NotImplementedError(f"pallas matcher: cost {cfg.cost!r} unsupported")
-    if cfg.uniqueness is not None:
-        raise NotImplementedError("uniqueness check not in the pallas path yet")
     if interpret is None:
         # fall back to the interpreter on non-TPU backends (CPU test meshes)
         interpret = jax.default_backend() != "tpu"
@@ -318,6 +338,7 @@ def raw_match(
         g_h=g_h,
         nplanes=nplanes,
         squared=cfg.cost == "ssd",
+        uniqueness=None if cfg.uniqueness is None else float(cfg.uniqueness),
     )
     out_shape = [
         jax.ShapeDtypeStruct((hp, wp), jnp.float32),  # disparity
@@ -353,8 +374,8 @@ def match_pair_pallas(
     tile_rows: int = 32,
     interpret: Optional[bool] = None,
 ):
-    """Fused-kernel twin of :func:`stepth_tpu.match.dense.match_pair` (SAD cost;
-    census pending). Same output contract; the cheap epilogue (occlusion fill,
+    """Fused-kernel twin of :func:`stepth_tpu.match.dense.match_pair`
+    (sad/ssd/census). Same output contract; the cheap epilogue (occlusion fill,
     median) runs in XLA."""
     from stepth_tpu.match import pallas_post
 

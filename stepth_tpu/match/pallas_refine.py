@@ -65,6 +65,8 @@ def _refine_kernel(
     PADL,
     nc,
     g_h=None,
+    nplanes=0,
+    squared=False,
 ):
     if g_h is None:
         g_h = Hr
@@ -78,8 +80,14 @@ def _refine_kernel(
     rbox = win // 2
 
     def body(l_slab, r_slab, sem_l, sem_r):
-        cp_l = pltpu.make_async_copy(l_hbm.at[pl.ds(start, S)], l_slab, sem_l)
-        cp_r = pltpu.make_async_copy(r_hbm.at[pl.ds(start, S)], r_slab, sem_r)
+        if nplanes:
+            src_l = l_hbm.at[:, pl.ds(start, S)]
+            src_r = r_hbm.at[:, pl.ds(start, S)]
+        else:
+            src_l = l_hbm.at[pl.ds(start, S)]
+            src_r = r_hbm.at[pl.ds(start, S)]
+        cp_l = pltpu.make_async_copy(src_l, l_slab, sem_l)
+        cp_r = pltpu.make_async_copy(src_r, r_slab, sem_r)
         cp_l.start()
         cp_r.start()
         cp_l.wait()
@@ -100,9 +108,13 @@ def _refine_kernel(
         def col_tile(jc, _):
             base_t = base_ref[i, jc]
             bstart = pl.multiple_of(jc * _TW, 128)
-            rblock = r_slab[:, pl.ds(bstart, BW)]  # [S, BW]
             lstart = pl.multiple_of(PADL + jc * _TW - _EB, 128)
-            lblock = l_slab[:, pl.ds(lstart, CW)]  # [S, CW]
+            if nplanes:
+                rblocks = [r_slab[p, :, pl.ds(bstart, BW)] for p in range(nplanes)]
+                lblocks = [l_slab[p, :, pl.ds(lstart, CW)] for p in range(nplanes)]
+            else:
+                rblock = r_slab[:, pl.ds(bstart, BW)]  # [S, BW]
+                lblock = l_slab[:, pl.ds(lstart, CW)]  # [S, CW]
 
             # real col of cost position: x = jc*TW - EB + ccols
             x_real = jc * _TW - _EB + ccols  # [1, CW]
@@ -116,10 +128,22 @@ def _refine_kernel(
 
             for o in range(-R, R + 1):
                 s = base_t + o  # candidate disparity (may be < 0 at base 0)
-                rsh = pltpu.roll(rblock, (BW + s) % BW, axis=1)
-                # cost region = block cols [PADB, PADB+CW)
-                rsamp = rsh[:, PADB : PADB + CW]
-                cost = jnp.abs(lblock - rsamp)
+                if nplanes:
+                    # census: hamming distance over the u32 descriptor planes
+                    ham = jnp.zeros((S, CW), jnp.int32)
+                    for p in range(nplanes):
+                        rsh = pltpu.roll(rblocks[p], (BW + s) % BW, axis=1)
+                        rsamp = rsh[:, PADB : PADB + CW]
+                        ham = ham + jax.lax.population_count(
+                            lblocks[p] ^ rsamp
+                        ).astype(jnp.int32)
+                    cost = ham.astype(jnp.float32)
+                else:
+                    rsh = pltpu.roll(rblock, (BW + s) % BW, axis=1)
+                    # cost region = block cols [PADB, PADB+CW)
+                    rsamp = rsh[:, PADB : PADB + CW]
+                    diff = lblock - rsamp
+                    cost = diff * diff if squared else jnp.abs(diff)
                 xs = x_real - s  # sampled real col
                 bad = (xs < 0) | (xs >= Wr)
                 cost = jnp.where(bad, 1e6, cost)  # matches XLA refiner's inb mask
@@ -172,10 +196,15 @@ def _refine_kernel(
 
         jax.lax.fori_loop(0, nc, col_tile, 0)
 
+    slab_ty = (
+        pltpu.VMEM((nplanes, S, Wp), jnp.uint32)
+        if nplanes
+        else pltpu.VMEM((S, Wp), jnp.float32)
+    )
     pl.run_scoped(
         body,
-        l_slab=pltpu.VMEM((S, Wp), jnp.float32),
-        r_slab=pltpu.VMEM((S, Wp), jnp.float32),
+        l_slab=slab_ty,
+        r_slab=slab_ty,
         sem_l=pltpu.SemaphoreType.DMA,
         sem_r=pltpu.SemaphoreType.DMA,
     )
@@ -220,11 +249,23 @@ def refine_level(
     nc = wp // _TW
     Wp = PADL + wp + PADR
 
+    if cfg.cost not in ("sad", "ssd", "census"):
+        raise NotImplementedError(f"pallas refine: cost {cfg.cost!r} unsupported")
+
     # RV rows of padding top and bottom keep every kernel slab interior
     lg_p = jnp.pad(left_g, ((RV, RV + hp - h), (PADL, PADR + wp - w)), mode="edge")
     rg_p = jnp.pad(right_g, ((RV, RV + hp - h), (PADL, PADR + wp - w)), mode="edge")
     prior_p = jnp.pad(prior, ((0, hp - h), (0, wp - w)), mode="edge")
     base = tile_base_from_prior(prior_p, tile_rows, max_base)
+
+    nplanes = 0
+    if cfg.cost == "census":
+        # census descriptors in XLA on the edge-padded images (edge-pad then
+        # census == census of the true image inside the real region, matching
+        # pallas_dense.raw_match); [H, W, P] → [P, H, W] for contiguous slabs
+        lg_p = jnp.moveaxis(dense.census_transform(lg_p, cfg.census_window), -1, 0)
+        rg_p = jnp.moveaxis(dense.census_transform(rg_p, cfg.census_window), -1, 0)
+        nplanes = int(lg_p.shape[0])
 
     kern = functools.partial(
         _refine_kernel,
@@ -240,6 +281,8 @@ def refine_level(
         PADL=PADL,
         nc=nc,
         g_h=g_h,
+        nplanes=nplanes,
+        squared=cfg.cost == "ssd",
     )
     tile_spec = pl.BlockSpec(
         (tile_rows, wp), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -337,7 +380,8 @@ def match_hierarchical_pallas(
     coarse_cfg = MatchConfig(
         num_disparities=pyr.coarsest_disparities,
         window=cfg.window,
-        cost="sad",
+        cost=cfg.cost,
+        census_window=cfg.census_window,
         subpixel=cfg.subpixel,
         lr_threshold=None,
     )

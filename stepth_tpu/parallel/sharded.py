@@ -297,7 +297,8 @@ def match_hierarchical_sharded(
         coarse_cfg = MatchConfig(
             num_disparities=pyr.coarsest_disparities,
             window=cfg.window,
-            cost="sad",
+            cost=cfg.cost,
+            census_window=cfg.census_window,
             subpixel=cfg.subpixel,
             lr_threshold=None,
         )

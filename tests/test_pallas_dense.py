@@ -66,3 +66,23 @@ def test_pallas_census_matches_dense(rng):
     ref = dense.match_pair(left, right, cfg)
     got = pallas_dense.match_pair_pallas(left, right, cfg, interpret=True)
     _assert_close_results(ref, got)
+
+
+@pytest.mark.parametrize("lr", [None, 1.0])
+def test_pallas_uniqueness_matches_dense(rng, lr):
+    """Uniqueness-ratio validity in the fused kernel (VERDICT round-1 item 8):
+    the in-loop second-best tracker (±1 exclusion) matches dense.wta's masked
+    min. Run at a few thresholds so both mostly-valid and mostly-invalid
+    regimes are exercised."""
+    left, right = make_pair(rng, h=48, w=160, shift=5)
+    for uniq in (0.0, 0.05, 0.3):
+        cfg = MatchConfig(
+            num_disparities=16, window=9, cost="sad",
+            lr_threshold=lr, uniqueness=uniq,
+        )
+        ref = dense.match_pair(left, right, cfg)
+        got = pallas_dense.match_pair_pallas(left, right, cfg, interpret=True)
+        valid_agree = (np.asarray(ref.valid) == np.asarray(got.valid)).mean()
+        assert valid_agree > 0.995, (uniq, valid_agree)
+        # the fraction invalidated must move with the threshold identically
+        assert abs(np.asarray(ref.valid).mean() - np.asarray(got.valid).mean()) < 0.005
