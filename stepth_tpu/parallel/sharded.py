@@ -258,7 +258,17 @@ def match_hierarchical_sharded(
     every pyramid level runs its Pallas kernel on the local row shard extended
     by an exchanged halo, with cost clipping at *global* image rows. The
     2×2 pyramid downsampling is shard-local (shard heights must divide by
-    2^(levels−1)), so no cross-device traffic outside the halo ppermutes."""
+    2^(levels−1)), so no cross-device traffic outside the halo ppermutes.
+
+    **Seam-exact** with :func:`stepth_tpu.match.pallas_refine.
+    match_hierarchical_pallas` at the same ``tile_rows`` (bit-for-bit; tested
+    in tests/test_parallel.py): the refine kernel quantizes disparity bases per
+    (``tile_rows`` × 128) tile of its *local* input, so the per-level halo is
+    sized a multiple of ``tile_rows`` — every shard-local row tile then starts
+    at a global row ≡ 0 (mod ``tile_rows``) and sees exactly the rows the
+    single-device run's tile sees. Vertically a halo ≥ window//2 + 1 covers the
+    box sums and the median (``refine_radius`` only widens the *horizontal*
+    search, which is unsharded)."""
     from stepth_tpu.config import PyramidConfig
     from stepth_tpu.match import pallas_dense, pallas_refine, pallas_post
     from stepth_tpu.match import pyramid as pyr_mod
@@ -281,7 +291,23 @@ def match_hierarchical_sharded(
     th = h // ntile
     if th % scale != 0:
         raise ValueError(f"shard height {th} not divisible by 2^(levels-1)={scale}")
-    halo = 8  # ≥ box radius, sublane-aligned; kernels mask at global rows
+    # refine row-tile height (sublane-aligned); shrunk if needed so it divides
+    # the coarsest shard height — required for globally-aligned refine tile
+    # bases. Bit-equality with the single-device path holds when that run uses
+    # the same (effective) tile_rows.
+    tr = (tile_rows + 7) // 8 * 8
+    th_coarse = th >> (pyr.levels - 1)
+    while tr > 8 and th_coarse % tr != 0:
+        tr -= 8
+    if th_coarse % tr != 0:
+        raise ValueError(
+            f"coarsest shard height {th_coarse} not divisible by any "
+            f"sublane-aligned tile_rows ≤ {tile_rows}"
+        )
+    # halo: enough rows for the window box sums (+1 for the median), rounded up
+    # to a multiple of tr so shard-local refine tiles align with global tiles
+    need = cfg.window // 2 + 1
+    halo = -(-need // tr) * tr
     if th // scale < halo:
         raise ValueError(f"coarsest shard height {th // scale} < halo {halo}")
 
@@ -307,8 +333,11 @@ def match_hierarchical_sharded(
         h_l = h >> lvl
         l_ext = _with_halo(lefts[-1], halo, "tile", edge="replicate")
         r_ext = _with_halo(rights[-1], halo, "tile", edge="replicate")
+        # the coarse fused matcher's output is tile-boundary independent (all
+        # slabs interior, cost zero-masked at *global* rows), so its tile_rows
+        # need not match the single-device call's
         disp, _, _, _ = pallas_dense.raw_match(
-            l_ext, r_ext, coarse_cfg, tile_rows=8, interpret=interpret,
+            l_ext, r_ext, coarse_cfg, tile_rows=min(tr, 16), interpret=interpret,
             g_row0=idx * th_l - halo, g_h=h_l,
         )
         disp = disp[halo : halo + th_l]
@@ -324,7 +353,7 @@ def match_hierarchical_sharded(
             p_ext = _with_halo(prior, halo, "tile", edge="replicate")
             d_full = pallas_refine.refine_level_shard(
                 l_ext, r_ext, p_ext, cfg, pyr.refine_radius, max_base,
-                min(tile_rows, max(8, th_l)), interpret,
+                tr, interpret,
                 g_row0=idx * th_l - halo, g_h=h_l,
             )
             disp = d_full[halo : halo + th_l]
