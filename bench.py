@@ -204,19 +204,50 @@ def main():
         return time.perf_counter() - t0, out
 
     chain(2)  # warm
-    # The two-point difference is noisy when a host-scheduling transient lands
-    # in the short chain; repeat and take the median per-frame estimate.
+    # Latency including one host dispatch round-trip per frame (the axon
+    # tunnel adds ~2 ms/dispatch that a local host would not pay); median of
+    # three two-point estimates.
     estimates = []
     out = None
     for _ in range(3):
         t1, _ = chain(10)
         t2, out = chain(60)
         estimates.append(max((t2 - t1) / 50, 1e-9))
+    lat_frame = sorted(estimates)[1]
+    print(
+        f"[bench] dispatch-chained latency: {1.0/lat_frame:.2f} frames/s"
+        f" ({lat_frame*1e3:.3f} ms/frame incl. host round-trip)",
+        file=sys.stderr,
+    )
+
+    # Headline THROUGHPUT: frames computed back-to-back on the device — a
+    # fori_loop of data-dependency-chained matches inside one jit. Sustained
+    # streaming reaches this rate because host dispatches overlap device
+    # execution; the two-point (5 vs 55 iterations) difference cancels the
+    # fixed dispatch/readback cost.
+    def looped(n):
+        def body(_, l):
+            r = pallas_refine.match_hierarchical_pallas(l, right, cfg, pyr)
+            return left + r.disparity[:1, :1] * 1e-6
+
+        return jax.jit(lambda l: jax.lax.fori_loop(0, n, body, l))
+
+    f1, f2 = looped(5), looped(55)
+    for f in (f1, f2):
+        _ = float(jnp.sum(f(left)[:1, :8]))
+    estimates = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = float(jnp.sum(f1(left)[:1, :8]))
+        t1 = time.perf_counter()
+        _ = float(jnp.sum(f2(left)[:1, :8]))
+        t2 = time.perf_counter()
+        estimates.append(((t2 - t1) - (t1 - t0)) / 50)
     per_frame = sorted(estimates)[1]
     fps = 1.0 / per_frame
     print(
         f"[bench] tpu 1080p hierarchical-pallas (eff. D=128): {fps:.2f} frames/s"
-        f" ({per_frame*1e3:.3f} ms/frame)",
+        f" ({per_frame*1e3:.3f} ms/frame device throughput)",
         file=sys.stderr,
     )
 
@@ -362,8 +393,134 @@ def bench_extra():
     )
 
 
+def bench_profile():
+    """Per-stage timing of the flagship hierarchical pipeline on the real
+    chip (``python bench.py --profile``): coarse matcher, each refine level,
+    median, and the XLA glue, using the same chained-dependency methodology."""
+    import os
+
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+
+    import jax.numpy as jnp
+
+    from stepth_tpu.config import MatchConfig
+    from stepth_tpu.match import pallas_dense, pallas_post, pallas_refine
+    from stepth_tpu.match import pyramid as pyr_mod
+
+    cfg = MatchConfig(num_disparities=128, window=9, cost="sad")
+    left_np, right_np = make_pair(H, W)
+    left = jnp.asarray(left_np)
+    right = jnp.asarray(right_np)
+
+    def timeit(name, fn, *args):
+        """Device-side iteration timing: the stage runs N times inside ONE jit
+        via ``lax.fori_loop`` with a scalar data dependency chaining iterations,
+        so per-dispatch/tunnel overhead (≈1 ms/call here) cancels entirely.
+        Returns ms/iteration from a two-point (N₁, N₂) difference."""
+
+        def looped(n):
+            def body(_, x):
+                out = fn(x, *args[1:])
+                return x + jnp.ravel(out)[0] * 1e-30
+
+            return jax.jit(lambda a: jax.lax.fori_loop(0, n, body, a))
+
+        f1, f2 = looped(5), looped(55)
+        for f in (f1, f2):
+            _ = float(jnp.ravel(f(args[0]))[0])  # compile + warm
+
+        est = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _ = float(jnp.ravel(f1(args[0]))[0])
+            t1 = time.perf_counter()
+            _ = float(jnp.ravel(f2(args[0]))[0])
+            t2 = time.perf_counter()
+            est.append(((t2 - t1) - (t1 - t0)) / 50)
+        ms = sorted(est)[1] * 1e3
+        print(f"[profile] {name}: {ms:.3f} ms", file=sys.stderr)
+        return ms
+
+    # pyramid levels
+    shapes = [(H >> l, W >> l) for l in range(4)]
+    imgs = {0: (left, right)}
+    for l in range(1, 4):
+        imgs[l] = (
+            pyr_mod.downsample2(imgs[l - 1][0]),
+            pyr_mod.downsample2(imgs[l - 1][1]),
+        )
+        imgs[l] = tuple(jnp.asarray(np.asarray(x)) for x in imgs[l])
+
+    total = 0.0
+    total += timeit(
+        "downsample chain (3 levels, both images)",
+        lambda l, r: pyr_mod.downsample2(
+            pyr_mod.downsample2(pyr_mod.downsample2(l))
+        )
+        + pyr_mod.downsample2(pyr_mod.downsample2(pyr_mod.downsample2(r)))[0, 0],
+        left,
+        right,
+    )
+
+    coarse_cfg = MatchConfig(
+        num_disparities=16, window=9, cost="sad", lr_threshold=None
+    )
+    total += timeit(
+        f"coarse fused match {shapes[3]} D=16",
+        lambda l, r: pallas_dense.raw_match(l, r, coarse_cfg, tile_rows=16)[0],
+        imgs[3][0],
+        imgs[3][1],
+    )
+
+    max_base = 16
+    for lvl in (2, 1, 0):
+        h, w = shapes[lvl]
+        max_base *= 2
+        prior = jnp.full((h, w), 12.0, jnp.float32)
+        total += timeit(
+            f"refine level {lvl} {h}x{w} base<={max_base} R=4",
+            lambda l, r, p, mb=max_base: pallas_refine.refine_level(
+                l, r, p, cfg, 4, mb, 32
+            ),
+            imgs[lvl][0],
+            imgs[lvl][1],
+            prior,
+        )
+
+    total += timeit(
+        "median3 1080p", lambda x: pallas_post.median3_pallas(x), left
+    )
+    total += timeit(
+        "upsample2_disparity to 1080p",
+        lambda x: pyr_mod.upsample2_disparity(x, H, W),
+        jnp.zeros((H // 2, W // 2), jnp.float32),
+    )
+    print(f"[profile] stage sum: {total:.3f} ms", file=sys.stderr)
+
+    from stepth_tpu.config import PyramidConfig
+
+    pyrc = PyramidConfig(levels=4, refine_radius=4, coarsest_disparities=16)
+    timeit(
+        "FULL hierarchical-pallas 1080p (device-loop)",
+        lambda l, r: pallas_refine.match_hierarchical_pallas(
+            l, r, cfg, pyrc
+        ).disparity,
+        left,
+        right,
+    )
+
+
 if __name__ == "__main__":
     if "--extra" in sys.argv:
         bench_extra()
+    elif "--profile" in sys.argv:
+        bench_profile()
     else:
         main()

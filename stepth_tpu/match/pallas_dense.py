@@ -127,17 +127,22 @@ def _kernel(
         zero_mask = vz.astype(jnp.float32) * (cols < Wr).astype(jnp.float32)
 
         def box_sum(cost):
+            """Vertical box on the [S, W] slab, extract the TH output rows,
+            horizontal box on [TH, W] only (the horizontal pass needs no
+            vertical context, so running it after extraction saves the 2·RV
+            halo rows' worth of lane rolls)."""
             cost = cost * zero_mask
-            if win == 9:  # two-stage 3×3 decomposition: 6 rolls per axis
+            if win == 9:  # two-stage 3×3 decomposition: 4 rolls per axis
                 y = cost
                 for sh in (1, S - 1):
                     y = y + pltpu.roll(cost, sh, axis=0)
                 z = y
                 for sh in (3, S - 3):
                     z = z + pltpu.roll(y, sh, axis=0)
-                y = z
+                v = z[RV : RV + TH]
+                y = v
                 for sh in (1, W - 1):
-                    y = y + pltpu.roll(z, sh, axis=1)
+                    y = y + pltpu.roll(v, sh, axis=1)
                 z = y
                 for sh in (3, W - 3):
                     z = z + pltpu.roll(y, sh, axis=1)
@@ -145,33 +150,35 @@ def _kernel(
             aggv = jnp.zeros_like(cost)
             for j in range(-rbox, rbox + 1):
                 aggv = aggv + pltpu.roll(cost, (-j) % S, axis=0)
+            aggv = aggv[RV : RV + TH]
             agg = jnp.zeros_like(aggv)
             for mshift in range(-rbox, rbox + 1):
                 agg = agg + pltpu.roll(aggv, (-mshift) % W, axis=1)
             return agg
 
         def dloop(d, carry):
-            best, bestd, cm1, cb, cp1, prev, bestr, bestrd, runlag2, second = carry
+            (best, bestd, cm1, cb, cp1, prev, bestr, bestrd, runlag2, second,
+             r_rot) = carry
 
+            # r_rot carries roll(r, d) incrementally: one static roll-by-1 per
+            # step instead of a dynamic (log-decomposed) roll-by-d
             if nplanes:
-                # census: hamming distance summed over u32 planes
                 ham = jnp.zeros((S, W), jnp.int32)
                 for p in range(nplanes):
-                    rsp = pltpu.roll(rp[p], d, axis=1)
-                    rsp = jnp.where(cols < d, redges[p], rsp)
+                    rsp = jnp.where(cols < d, redges[p], r_rot[p])
                     # popcount on the u32 xor (≤32, safe to widen to i32 after)
                     ham = ham + jax.lax.population_count(lp[p] ^ rsp).astype(
                         jnp.int32
                     )
                 cost = ham.astype(jnp.float32)
+                r_rot = [pltpu.roll(x, 1, axis=1) for x in r_rot]
             else:
-                rs = pltpu.roll(r, d, axis=1)
-                rs = jnp.where(cols < d, redge, rs)  # edge-replicate (x−d < 0)
+                rs = jnp.where(cols < d, redge, r_rot)  # edge-replicate (x−d < 0)
                 diff = l - rs
                 cost = diff * diff if squared else jnp.abs(diff)  # [S, W]
+                r_rot = pltpu.roll(r_rot, 1, axis=1)
 
-            agg = box_sum(cost)
-            aggc = agg[RV : RV + TH]  # output rows (static: tiles are interior)
+            aggc = box_sum(cost)  # [TH, W] output rows (tiles are interior)
 
             # left WTA with subpixel neighbor tracking
             upd = aggc < best
@@ -201,7 +208,8 @@ def _kernel(
             bestr = jnp.where(updr, aggr, bestr)
             bestrd = jnp.where(updr, d, bestrd)
 
-            return best, bestd, cm1, cb, cp1, aggc, bestr, bestrd, runlag2, second
+            return (best, bestd, cm1, cb, cp1, aggc, bestr, bestrd, runlag2,
+                    second, r_rot)
 
         zero = jnp.zeros((TH, W), jnp.float32)
         izero = jnp.zeros((TH, W), jnp.int32)
@@ -216,9 +224,10 @@ def _kernel(
             izero,  # bestRd
             zero + _BIG,  # runlag2: min cost over [0, d-2]
             zero + _BIG,  # second best outside the ±1 exclusion zone
+            list(rp) if nplanes else r,  # r_rot = roll(r, d), advanced in-loop
         )
-        best, bestd, cm1, cb, cp1, _, bestr, bestrd, _, second = jax.lax.fori_loop(
-            0, D, dloop, init
+        (best, bestd, cm1, cb, cp1, _, bestr, bestrd, _, second, _) = (
+            jax.lax.fori_loop(0, D, dloop, init)
         )
 
         # parabolic subpixel (matches dense.wta)

@@ -22,10 +22,17 @@ from stepth_tpu.match import dense
 
 
 def downsample2(gray: jax.Array) -> jax.Array:
-    """2×2 average pool (odd trailing row/col dropped) — one reshape-mean."""
+    """2×2 average pool (odd trailing row/col dropped) via strided adds.
+
+    The obvious ``reshape(h2, 2, w2, 2).mean((1, 3))`` lowers to a relayout
+    that costs ~2 ms per 1080p chain on a v5e — more than half the whole
+    hierarchical matcher; the strided-slice adds fuse to effectively zero
+    (measured ≲ 0.05 ms for the 3-level chain)."""
     h, w = gray.shape
     h2, w2 = h // 2, w // 2
-    return gray[: h2 * 2, : w2 * 2].reshape(h2, 2, w2, 2).mean(axis=(1, 3))
+    g = gray[: h2 * 2, : w2 * 2]
+    v = g[0::2] + g[1::2]
+    return (v[:, 0::2] + v[:, 1::2]) * 0.25
 
 
 def upsample2_disparity(disp: jax.Array, h: int, w: int) -> jax.Array:
