@@ -103,14 +103,20 @@ def _lr_kernel(x_hbm, y_hbm, out_ref, *, W, Wr, D, TH, threshold):
         xr = jnp.clip(jnp.round(colf - dl), 0.0, wmax)
         dredge = dr[:, :1]
 
-        def lr_body(d, ok):
-            dr_s = pltpu.roll(dr, d, axis=1)
-            dr_s = jnp.where(cols < d, dredge, dr_s)
+        def lr_body(d, carry):
+            ok, dr_rot = carry  # dr_rot = roll(dr, d), advanced incrementally
+            dr_s = jnp.where(cols < d, dredge, dr_rot)
             sel = xr == jnp.clip(colf - d.astype(jnp.float32), 0.0, wmax)
             hit = sel & (jnp.abs(dl - dr_s) <= threshold)
-            return jnp.maximum(ok, hit.astype(jnp.float32))
+            return (
+                jnp.maximum(ok, hit.astype(jnp.float32)),
+                pltpu.roll(dr_rot, 1, axis=1),
+            )
 
-        out_ref[:] = jax.lax.fori_loop(0, D, lr_body, jnp.zeros((TH, W), jnp.float32))
+        ok, _ = jax.lax.fori_loop(
+            0, D, lr_body, (jnp.zeros((TH, W), jnp.float32), dr)
+        )
+        out_ref[:] = ok
 
     pl.run_scoped(
         body,

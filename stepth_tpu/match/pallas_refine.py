@@ -60,8 +60,7 @@ def _refine_kernel(
     g_row0_ref,  # SMEM i32[1] global row of input row 0 (for row shards)
     l_hbm,
     r_hbm,  # ANY f32[Hp, Wp] (left-padded by PADL, right by PADR)
-    disp_ref,  # VMEM f32[TH, Wout] output tile row (real cols only)
-    *,
+    *out_refs,  # disp_ref [+ dispr_ref when lr]: VMEM f32[TH, Wout]
     Hp,
     Wp,
     Hr,
@@ -72,11 +71,15 @@ def _refine_kernel(
     R,
     M,
     PADL,
+    PADB,
     nc,
     g_h=None,
     nplanes=0,
     squared=False,
+    lr=False,
 ):
+    disp_ref = out_refs[0]
+    dispr_ref = out_refs[1] if lr else None
     if g_h is None:
         g_h = Hr
     g_row0 = g_row0_ref[0]
@@ -85,8 +88,10 @@ def _refine_kernel(
     # caller pads the input with RV rows top and bottom → slabs are interior
     start = pl.multiple_of(i * TH, 8)
     rbox = win // 2
+    # right-view scratch coordinate: g = u + PADB + M (u = real right col)
+    Wscr = PADB + ((nc * _TW + M + _BW2 - _CW + 127) // 128) * 128
 
-    def body(l_slab, r_slab, sem_l, sem_r):
+    def body(l_slab, r_slab, sem_l, sem_r, rbest=None, rarg=None):
         if nplanes:
             src_l = l_hbm.at[:, pl.ds(start, S)]
             src_r = r_hbm.at[:, pl.ds(start, S)]
@@ -174,6 +179,15 @@ def _refine_kernel(
             cb = jnp.full((TH, _CW), _BIG, jnp.float32)
             cp1 = jnp.full((TH, _CW), _BIG, jnp.float32)
             prev = jnp.zeros((TH, _CW), jnp.float32)
+            if lr:
+                # right-view WTA in the shifting frame:
+                #   B_o[q] = min(contrib_o[q], B_{o-1}[q-1])
+                # so after the loop B[q] = min_o contrib_o[q - R + o], which is
+                # the right-view cost at u = jc·128 − M + q − R − base for every
+                # o — one static roll-by-1 per offset instead of a per-u gather
+                colbad = (x_real < 0) | (x_real >= Wr)  # [1, CW]
+                bR = jnp.full((TH, _CW), _BIG, jnp.float32)
+                aR = jnp.full((TH, _CW), -1e6, jnp.float32)
 
             for o in range(-R, R + 1):
                 s = base_t + o  # candidate disparity (may be < 0 at base 0)
@@ -211,6 +225,14 @@ def _refine_kernel(
                 besto = jnp.where(upd, oi, besto)
                 prev = aggc
 
+                if lr:
+                    contrib = jnp.where(bad | colbad, _BIG, aggc)
+                    bR_s = pltpu.roll(bR, 1, axis=1)
+                    aR_s = pltpu.roll(aR, 1, axis=1)
+                    updr = contrib < bR_s
+                    bR = jnp.where(updr, contrib, bR_s)
+                    aR = jnp.where(updr, jnp.float32(1.0) * s, aR_s)
+
             denom = cm1 - 2.0 * cb + cp1
             delta = jnp.where(jnp.abs(denom) > 1e-6, (cm1 - cp1) / (2.0 * denom), 0.0)
             delta = jnp.clip(delta, -0.5, 0.5)
@@ -219,22 +241,63 @@ def _refine_kernel(
             dval = jnp.where(interior, dval + delta, dval)
             dval = jnp.clip(dval, 0.0, float(Wr - 1))
             disp_ref[:, pl.ds(jc * _TW, _TW)] = dval[:, M : M + _TW]
+
+            if lr:
+                # B[q] wraps contributions for q < 2R — mask, then min this
+                # tile's right-view window into the full-width scratch at its
+                # 128-aligned position g0 = jc·128 + PADB − A (scratch col
+                # g = u + PADB + M; the M offsets cancel, so g0 IS aligned)
+                bR_m = jnp.where(ccols < 2 * R, _BIG, bR)
+                padw = jnp.full((TH, _BW2 - _CW), _BIG, jnp.float32)
+                bRp = pltpu.roll(
+                    jnp.concatenate([bR_m, padw], axis=1),
+                    (A - base_t - R) % _BW2,
+                    axis=1,
+                )
+                aRp = pltpu.roll(
+                    jnp.concatenate([aR, padw], axis=1),
+                    (A - base_t - R) % _BW2,
+                    axis=1,
+                )
+                g0 = pl.multiple_of(jc * _TW + PADB - A, 128)
+                cur = rbest[:, pl.ds(g0, _BW2)]
+                take = bRp < cur
+                rbest[:, pl.ds(g0, _BW2)] = jnp.where(take, bRp, cur)
+                cura = rarg[:, pl.ds(g0, _BW2)]
+                rarg[:, pl.ds(g0, _BW2)] = jnp.where(take, aRp, cura)
             return 0
 
+        if lr:
+            rbest[:] = jnp.full((TH, Wscr), _BIG, jnp.float32)
+            rarg[:] = jnp.full((TH, Wscr), -1e6, jnp.float32)
         jax.lax.fori_loop(0, nc, col_tile, 0)
+
+        if lr:
+            # read the right-view disparity back out: u = jc·128 + k →
+            # scratch col jc·128 + PADB + M + k (window start aligned at
+            # jc·128 + PADB, static sub-slice [M, M+TW))
+            def emit_r(jc, _):
+                win_r = rarg[:, pl.ds(jc * _TW + PADB, 2 * _TW)]
+                dispr_ref[:, pl.ds(jc * _TW, _TW)] = win_r[:, M : M + _TW]
+                return 0
+
+            jax.lax.fori_loop(0, nc, emit_r, 0)
 
     slab_ty = (
         pltpu.VMEM((nplanes, S, Wp), jnp.uint32)
         if nplanes
         else pltpu.VMEM((S, Wp), jnp.float32)
     )
-    pl.run_scoped(
-        body,
+    scoped = dict(
         l_slab=slab_ty,
         r_slab=slab_ty,
         sem_l=pltpu.SemaphoreType.DMA,
         sem_r=pltpu.SemaphoreType.DMA,
     )
+    if lr:
+        scoped["rbest"] = pltpu.VMEM((TH, Wscr), jnp.float32)
+        scoped["rarg"] = pltpu.VMEM((TH, Wscr), jnp.float32)
+    pl.run_scoped(body, **scoped)
 
 
 def tile_base_from_prior(prior, tile_rows: int, max_base: int):
@@ -257,11 +320,20 @@ def refine_level(
     interpret: Optional[bool] = None,
     g_row0=0,
     g_h: Optional[int] = None,
+    lr: bool = False,
 ):
     """One pyramid refinement level via the Pallas kernel. ``left_g/right_g``
     f32[H, W] gray; ``prior`` f32[H, W] disparity estimate; returns f32[H, W].
     ``g_row0``/``g_h``: global row window when the inputs are a halo-extended
-    row shard of a larger image."""
+    row shard of a larger image.
+
+    ``lr=True`` additionally returns the right-view disparity ``dR`` (f32
+    [H, W]; −1e6 where no candidate covered the column), accumulated inside
+    the kernel from the same aggregated costs (costR(u, s) = costL(u+s, s))
+    via a shifting-frame running min — ~1.2× the plain level's cost instead
+    of a mirrored second pyramid. dR's candidate set at u is the union of the
+    column tiles' ``base ± R`` windows covering u, so it carries the same
+    tile-quantization contract as the forward disparity."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if cfg.cost not in ("sad", "ssd", "census"):
@@ -312,16 +384,19 @@ def refine_level(
         R=radius,
         M=M,
         PADL=PADL,
+        PADB=PADB,
         nc=nc,
         g_h=g_h,
         nplanes=nplanes,
         squared=cfg.cost == "ssd",
+        lr=lr,
     )
     tile_spec = pl.BlockSpec(
         (tile_rows, wp), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     g_row0_arr = jnp.asarray(g_row0, jnp.int32).reshape(1)
-    disp = pl.pallas_call(
+    out_shape = jax.ShapeDtypeStruct((hp, wp), jnp.float32)
+    out = pl.pallas_call(
         kern,
         grid=(hp // tile_rows,),
         in_specs=[
@@ -330,11 +405,13 @@ def refine_level(
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=tile_spec,
-        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+        out_specs=[tile_spec, tile_spec] if lr else tile_spec,
+        out_shape=[out_shape, out_shape] if lr else out_shape,
         interpret=interpret,
     )(base, g_row0_arr, lg_p, rg_p)
-    return disp[:h, :w]
+    if lr:
+        return out[0][:h, :w], out[1][:h, :w]
+    return out[:h, :w]
 
 
 def refine_level_shard(
@@ -379,34 +456,11 @@ def match_hierarchical_pallas(
     32/64/128). The default 64 keeps base tiles well under typical prior
     smoothness; drop to 32 for scenes with steep disparity gradients.
 
-    ``lr_check``: also match the mirrored pair (right-view disparity via
-    horizontal flips — ~2× runtime) and mark pixels failing the left-right
-    consistency test invalid, filling them from their scanline neighbors."""
-    if lr_check:
-        res_l = match_hierarchical_pallas(
-            left, right, cfg, pyr, tile_rows, interpret, lr_check=False
-        )
-        # dR(u) for right(u) = left(u + dR): run the left-matcher on the
-        # horizontally flipped, role-swapped pair and flip the result back
-        res_r = match_hierarchical_pallas(
-            jnp.asarray(right)[..., ::-1] if jnp.asarray(right).ndim == 2
-            else jnp.asarray(right)[:, ::-1],
-            jnp.asarray(left)[..., ::-1] if jnp.asarray(left).ndim == 2
-            else jnp.asarray(left)[:, ::-1],
-            cfg, pyr, tile_rows, interpret, lr_check=False,
-        )
-        from stepth_tpu.match import pallas_post
-
-        disp_r = res_r.disparity[:, ::-1]
-        d_eff = pyr.coarsest_disparities << (pyr.levels - 1)
-        thr = 1.0 if cfg.lr_threshold is None else float(cfg.lr_threshold)
-        valid = pallas_post.lr_consistency_pallas(
-            res_l.disparity, disp_r, thr, d_eff, interpret=interpret
-        )
-        disp = dense.fill_invalid(res_l.disparity, valid)
-        disp = pallas_post.median3_pallas(disp, interpret=interpret)
-        return dense.MatchResult(disparity=disp, valid=valid, cost=res_l.cost)
-
+    ``lr_check``: mark pixels failing the left-right consistency test invalid
+    and fill them from their scanline neighbors. The right-view disparity
+    comes from the final refine level's own aggregated costs (its in-kernel
+    shifting-frame right WTA, see :func:`refine_level` ``lr=True``) — ~1.2×
+    the plain runtime, replacing the round-1 mirrored second pyramid (2.2×)."""
     from stepth_tpu.match import pyramid as pyr_mod
 
     lg = dense.grayscale(left)
@@ -429,16 +483,35 @@ def match_hierarchical_pallas(
         interpret=interpret,
     )
     max_base = pyr.coarsest_disparities
+    disp_r = None
     for lvl in range(pyr.levels - 2, -1, -1):
         h, w = lefts[lvl].shape
         prior = pyr_mod.upsample2_disparity(disp, h, w)
         max_base = max_base * 2
-        disp = refine_level(
+        want_lr = lr_check and lvl == 0  # dR only needed at full resolution
+        out = refine_level(
             lefts[lvl], rights[lvl], prior, cfg, pyr.refine_radius, max_base,
-            tile_rows, interpret,
+            tile_rows, interpret, lr=want_lr,
         )
+        disp = out[0] if want_lr else out
+        if want_lr:
+            disp_r = out[1]
 
     from stepth_tpu.match import pallas_post
+
+    if lr_check:
+        if pyr.levels == 1:
+            raise ValueError("lr_check needs at least one refine level")
+        d_eff = pyr.coarsest_disparities << (pyr.levels - 1)
+        thr = 1.0 if cfg.lr_threshold is None else float(cfg.lr_threshold)
+        valid = pallas_post.lr_consistency_pallas(
+            disp, disp_r, thr, d_eff, interpret=interpret
+        )
+        disp = dense.fill_invalid(disp, valid)
+        disp = pallas_post.median3_pallas(disp, interpret=interpret)
+        return dense.MatchResult(
+            disparity=disp, valid=valid, cost=jnp.zeros_like(disp)
+        )
 
     disp = pallas_post.median3_pallas(disp, interpret=interpret)
     return dense.MatchResult(
