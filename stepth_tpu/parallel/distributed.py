@@ -24,13 +24,19 @@ def initialize(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
     heartbeat_timeout_s: int = 100,
+    initialization_timeout_s: int = 300,
 ) -> None:
     """Initialize `jax.distributed` for a multi-host pod slice.
 
-    No-ops when single-process (the common dev path). The heartbeat timeout is
-    the fail-fast failure detector: a host that misses it crashes the job
-    rather than hanging the collective (restart-from-checkpoint is the
-    recovery path — see stepth_tpu.utils.checkpoint).
+    No-ops when single-process (the common dev path). Two distinct timeouts:
+
+    * ``initialization_timeout_s`` bounds *startup* — how long processes wait
+      for each other at the coordinator barrier.
+    * ``heartbeat_timeout_s`` is the *runtime* failure detector
+      (``heartbeat_timeout_seconds`` of the coordination service): a host that
+      stops heartbeating for this long crashes the job fail-fast instead of
+      hanging the next collective. Recovery is restart-from-checkpoint
+      (stepth_tpu.utils.checkpoint; drill in tests/test_failure_recovery.py).
     """
     if num_processes is None:
         num_processes = int(os.environ.get("STEPTH_NUM_PROCESSES", "1"))
@@ -40,7 +46,8 @@ def initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
         process_id=process_id,
-        initialization_timeout=heartbeat_timeout_s,
+        initialization_timeout=initialization_timeout_s,
+        heartbeat_timeout_seconds=heartbeat_timeout_s,
     )
 
 

@@ -1,0 +1,84 @@
+"""Failure-recovery drill (VERDICT round-1 item 9): checkpoint → kill →
+restart → resume, asserting the resumed run equals an uninterrupted one
+bit-for-bit.
+
+The recovery model for multi-host jobs is fail-fast + restart-from-checkpoint
+(stepth_tpu.parallel.distributed wires the coordination-service heartbeat as
+the detector); this drill exercises the restart half with *real process
+boundaries*: phase A runs 5 LM iterations in its own Python process, saves a
+checkpoint (poses/points/lm_lambda), and exits — simulating a preemption right
+after a checkpoint. Phase B starts a fresh process, restores, and runs the
+remaining 5 iterations. The solver's full iteration state is the checkpoint
+(LM lambda included), so the resumed trajectory must match 10 straight
+iterations exactly.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+_DRIVER = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+sys.path.insert(0, sys.argv[4])
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+import jax.numpy as jnp
+from stepth_tpu.fusion import ba
+from stepth_tpu.utils import checkpoint
+
+phase, ckpt, out, repo = sys.argv[1], sys.argv[2], sys.argv[3], sys.argv[4]
+prob_npz = np.load(os.path.join(os.path.dirname(ckpt), "problem.npz"))
+problem = ba.BAProblem(**{k: jnp.asarray(v) for k, v in prob_npz.items()})
+
+if phase == "A":
+    st = ba.solve(problem, iters=5, cg_iters=8)
+    checkpoint.save(ckpt, {
+        "poses": st.poses, "points": st.points, "lm": st.lm_lambda,
+    })
+else:
+    like = {"poses": problem.poses, "points": problem.points,
+            "lm": jnp.float32(0)}
+    state = checkpoint.restore(ckpt, like=like)
+    problem = problem._replace(
+        poses=jnp.asarray(state["poses"]), points=jnp.asarray(state["points"])
+    )
+    st = ba.solve(problem, iters=5, cg_iters=8,
+                  lm_lambda0=float(np.asarray(state["lm"])))
+    np.savez(out, poses=np.asarray(st.poses), points=np.asarray(st.points),
+             cost=np.asarray(st.cost))
+"""
+
+
+def test_ba_checkpoint_kill_resume(tmp_path, rng):
+    from tests.test_fusion_ba import make_problem
+    from stepth_tpu.fusion import ba
+
+    problem, _, _ = make_problem(rng, n_cams=4, n_pts=40, perturb=0.05)
+    np.savez(
+        tmp_path / "problem.npz",
+        **{k: np.asarray(v) for k, v in problem._asdict().items()},
+    )
+    driver = tmp_path / "driver.py"
+    driver.write_text(_DRIVER)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ckpt = str(tmp_path / "ba_ckpt.npz")
+    out = str(tmp_path / "final.npz")
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    for phase in ("A", "B"):
+        proc = subprocess.run(
+            [sys.executable, str(driver), phase, ckpt, out, repo],
+            capture_output=True, text=True, timeout=600, env=env,
+        )
+        assert proc.returncode == 0, f"phase {phase}: {proc.stderr[-2000:]}"
+        if phase == "A":
+            assert os.path.exists(ckpt), "phase A produced no checkpoint"
+
+    resumed = np.load(out)
+    straight = ba.solve(problem, iters=10, cg_iters=8)
+    np.testing.assert_array_equal(resumed["poses"], np.asarray(straight.poses))
+    np.testing.assert_array_equal(resumed["points"], np.asarray(straight.points))
