@@ -392,6 +392,6 @@ def match_pair_pallas(
     rg = dense.grayscale(right)
     disp, _, cbest, valid_f = raw_match(lg, rg, cfg, tile_rows, interpret)
     valid = valid_f > 0.5
-    disp = dense.fill_invalid(disp, valid)
+    disp = pallas_post.fill_invalid_pallas(disp, valid, interpret=interpret)
     disp = pallas_post.median3_pallas(disp, interpret=interpret)
     return dense.MatchResult(disparity=disp, valid=valid, cost=cbest)

@@ -83,8 +83,11 @@ def _median_kernel(x_hbm, out_ref, *, H, W, Hr, Wr, TH, RV):
 
 def _lr_kernel(x_hbm, y_hbm, out_ref, *, W, Wr, D, TH, threshold):
     """Row-tile LR sweep: valid(x) ⇔ |dL(x) − dR(round(x−dL(x)))| ≤ threshold,
-    evaluated gather-free as D static-shift selections (same formulation as
-    dense.lr_consistency)."""
+    evaluated gather-free as static-shift selections (same formulation as
+    dense.lr_consistency). The swept shift range is bounded per slab by
+    [⌊min dL⌋, ⌈max dL⌉] — the selector ``round(x−dL) == x−d`` can only fire
+    for d within one of dL's rounded range — so smooth scenes sweep a few
+    dozen shifts instead of all D (worst case unchanged)."""
     i = pl.program_id(0)
     start = pl.multiple_of(i * TH, 8)
 
@@ -103,6 +106,9 @@ def _lr_kernel(x_hbm, y_hbm, out_ref, *, W, Wr, D, TH, threshold):
         xr = jnp.clip(jnp.round(colf - dl), 0.0, wmax)
         dredge = dr[:, :1]
 
+        dlo = jnp.clip(jnp.floor(jnp.min(dl)).astype(jnp.int32) - 1, 0, D)
+        dhi = jnp.clip(jnp.ceil(jnp.max(dl)).astype(jnp.int32) + 2, 0, D)
+
         def lr_body(d, carry):
             ok, dr_rot = carry  # dr_rot = roll(dr, d), advanced incrementally
             dr_s = jnp.where(cols < d, dredge, dr_rot)
@@ -114,7 +120,8 @@ def _lr_kernel(x_hbm, y_hbm, out_ref, *, W, Wr, D, TH, threshold):
             )
 
         ok, _ = jax.lax.fori_loop(
-            0, D, lr_body, (jnp.zeros((TH, W), jnp.float32), dr)
+            dlo, dhi, lr_body,
+            (jnp.zeros((TH, W), jnp.float32), pltpu.roll(dr, dlo, axis=1)),
         )
         out_ref[:] = ok
 
@@ -125,6 +132,96 @@ def _lr_kernel(x_hbm, y_hbm, out_ref, *, W, Wr, D, TH, threshold):
         sem_l=pltpu.SemaphoreType.DMA,
         sem_r=pltpu.SemaphoreType.DMA,
     )
+
+
+def _fill_kernel(d_hbm, v_hbm, out_ref, *, W, TH):
+    """Scanline occlusion fill (twin of dense.fill_invalid): each invalid
+    pixel takes the nearer (smaller) of the nearest valid disparities to its
+    left and right. The XLA ``associative_scan`` version lowers to ~2·log₂(W)
+    unfused full-resolution pad/slice HBM round-trips (~5 ms at 1080p — it
+    dominated the whole matcher); here the scans are log-shift propagations
+    over the VMEM-resident slab."""
+    i = pl.program_id(0)
+    start = pl.multiple_of(i * TH, 8)
+
+    def body(d_slab, v_slab, sem_d, sem_v):
+        cp_d = pltpu.make_async_copy(d_hbm.at[pl.ds(start, TH)], d_slab, sem_d)
+        cp_v = pltpu.make_async_copy(v_hbm.at[pl.ds(start, TH)], v_slab, sem_v)
+        cp_d.start()
+        cp_v.start()
+        cp_d.wait()
+        cp_v.wait()
+        disp = d_slab[:]
+        valid = v_slab[:] > 0.5
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+
+        def propagate(rightward):
+            # carry the most recent valid value in the scan direction via
+            # doubling shifts; padded columns carry valid=False so they never
+            # contribute (matching the unsharded scan over real columns only).
+            # "has a value" is carried as f32 — Mosaic cannot rotate i1 vectors
+            v = jnp.where(valid, disp, 0.0)
+            h = valid.astype(jnp.float32)
+            k = 1
+            while k < W:
+                if rightward:  # value flows left → right
+                    vs = pltpu.roll(v, k, axis=1)
+                    hs = pltpu.roll(h, k, axis=1) * (cols >= k)
+                else:
+                    vs = pltpu.roll(v, (W - k) % W, axis=1)
+                    hs = pltpu.roll(h, (W - k) % W, axis=1) * (cols < W - k)
+                take = (h == 0.0) & (hs > 0.0)
+                v = jnp.where(take, vs, v)
+                h = jnp.maximum(h, hs)
+                k *= 2
+            return jnp.where(h > 0.0, v, jnp.inf)
+
+        left_fill = propagate(True)
+        right_fill = propagate(False)
+        fill = jnp.minimum(left_fill, right_fill)
+        fill = jnp.where(jnp.isfinite(fill), fill, 0.0)
+        out_ref[:] = jnp.where(valid, disp, fill)
+
+    pl.run_scoped(
+        body,
+        d_slab=pltpu.VMEM((TH, W), jnp.float32),
+        v_slab=pltpu.VMEM((TH, W), jnp.float32),
+        sem_d=pltpu.SemaphoreType.DMA,
+        sem_v=pltpu.SemaphoreType.DMA,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("tile_rows", "interpret"))
+def fill_invalid_pallas(
+    disp, valid, tile_rows: int = 64, interpret: Optional[bool] = None
+) -> jax.Array:
+    """Drop-in twin of :func:`stepth_tpu.match.dense.fill_invalid` (bit-exact:
+    both are pure selects over the same values)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    disp = jnp.asarray(disp, jnp.float32)
+    h, w = disp.shape
+    tile_rows = _round_up(tile_rows, 8)
+    wp = _round_up(w, 128)
+    hp = _round_up(h, tile_rows)
+    d_p = jnp.pad(disp, ((0, hp - h), (0, wp - w)))
+    # pad validity with False: padded columns must not seed fills
+    v_p = jnp.pad(valid.astype(jnp.float32), ((0, hp - h), (0, wp - w)))
+    kern = functools.partial(_fill_kernel, W=wp, TH=tile_rows)
+    out = pl.pallas_call(
+        kern,
+        grid=(hp // tile_rows,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_rows, wp), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+        interpret=interpret,
+    )(d_p, v_p)
+    return out[:h, :w]
 
 
 @functools.partial(

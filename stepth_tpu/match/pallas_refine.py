@@ -507,7 +507,7 @@ def match_hierarchical_pallas(
         valid = pallas_post.lr_consistency_pallas(
             disp, disp_r, thr, d_eff, interpret=interpret
         )
-        disp = dense.fill_invalid(disp, valid)
+        disp = pallas_post.fill_invalid_pallas(disp, valid, interpret=interpret)
         disp = pallas_post.median3_pallas(disp, interpret=interpret)
         return dense.MatchResult(
             disparity=disp, valid=valid, cost=jnp.zeros_like(disp)

@@ -86,3 +86,18 @@ def test_pallas_uniqueness_matches_dense(rng, lr):
         assert valid_agree > 0.995, (uniq, valid_agree)
         # the fraction invalidated must move with the threshold identically
         assert abs(np.asarray(ref.valid).mean() - np.asarray(got.valid).mean()) < 0.005
+
+
+def test_fill_invalid_pallas_matches_dense(rng):
+    """The Pallas occlusion fill is bit-exact vs dense.fill_invalid (pure
+    selects over the same values), including all-invalid rows and edges."""
+    from stepth_tpu.match import pallas_post
+
+    disp = rng.uniform(0, 60, (48, 200)).astype(np.float32)
+    valid = rng.uniform(size=(48, 200)) > 0.4
+    valid[5] = False  # an all-invalid row
+    valid[7] = True
+    valid[:, :3] = False  # invalid left border
+    want = np.asarray(dense.fill_invalid(disp, valid))
+    got = np.asarray(pallas_post.fill_invalid_pallas(disp, valid, interpret=True))
+    np.testing.assert_array_equal(want, got)
