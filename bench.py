@@ -331,6 +331,87 @@ def bench_extra():
     except Exception as e:  # no assets / no toolchain
         print(f"[bench-extra] native engine skipped: {e}", file=sys.stderr)
 
+    # --- config 4: streamed stereo video (loader → matcher → temporal) ------
+    from stepth_tpu.config import PyramidConfig
+    from stepth_tpu.core.loader import PrefetchLoader
+    from stepth_tpu.match import pallas_refine
+
+    vcfg = MatchConfig(num_disparities=128, window=9, cost="sad")
+    vpyr = PyramidConfig(levels=4, refine_radius=4, coarsest_disparities=16)
+    vh, vw = 1088, 1920
+    n_frames = 24
+    rng = np.random.default_rng(2)
+    base_l, base_r = make_pair(vh, vw, shift=24, seed=2)
+
+    def synth(i):
+        # per-frame brightness wobble — cheap host-side "decode"; u8 frames
+        # (what a video decoder produces; 4× less H2D than f32)
+        s = 1.0 + 0.01 * (i % 5)
+        return (
+            np.clip(base_l * s, 0, 255).astype(np.uint8),
+            np.clip(base_r * s, 0, 255).astype(np.uint8),
+        )
+
+    step = jax.jit(
+        lambda l, r, prev: (
+            lambda d: (d, 0.7 * d + 0.3 * prev)  # streaming EMA temporal smooth
+        )(
+            pallas_refine.match_hierarchical_pallas(
+                l.astype(jnp.float32), r.astype(jnp.float32), vcfg, vpyr
+            ).disparity
+        )
+    )
+    l0, r0 = synth(0)
+    ema = jnp.zeros((vh, vw), jnp.float32)
+    d, ema = step(jnp.asarray(l0), jnp.asarray(r0), ema)  # compile
+    _ = float(jnp.sum(d[:1, :8]))
+    loader = PrefetchLoader(range(n_frames), synth, num_threads=4, buffer=6,
+                            device_put=True)
+    t0 = time.perf_counter()
+    for l_np, r_np in loader:
+        d, ema = step(l_np, r_np, ema)
+    _ = float(jnp.sum(ema[:1, :8]))
+    dt = time.perf_counter() - t0
+    print(
+        f"[bench-extra] config-4 video 1080p end-to-end"
+        f" (loader→H2D→hierarchical→EMA, {n_frames} u8 frame pairs):"
+        f" {n_frames/dt:.1f} frames/s ({dt/n_frames*1e3:.1f} ms/frame)."
+        f" NOTE: H2D rides the remote axon tunnel here (~4 MB/frame); on a"
+        f" local host PCIe H2D is >100× faster and the device rate below is"
+        f" the bound.",
+        file=sys.stderr,
+    )
+
+    # device-bound rate of the same per-frame step (frames resident):
+    lj, rj = jnp.asarray(l0), jnp.asarray(r0)
+
+    def vid_loop(n):
+        def body(_, carry):
+            e, x = carry
+            d, e = step(lj + x, rj, e)
+            return e, (d[:1, :1] * 1e-30).astype(jnp.uint8)
+
+        return jax.jit(
+            lambda e: jax.lax.fori_loop(
+                0, n, body, (e, jnp.zeros((1, 1), jnp.uint8))
+            )[0]
+        )
+
+    f1, f2 = vid_loop(5), vid_loop(25)
+    for f in (f1, f2):
+        _ = float(jnp.sum(f(ema)[:1, :8]))
+    t0 = time.perf_counter()
+    _ = float(jnp.sum(f1(ema)[:1, :8]))
+    t1 = time.perf_counter()
+    _ = float(jnp.sum(f2(ema)[:1, :8]))
+    t2 = time.perf_counter()
+    per = ((t2 - t1) - (t1 - t0)) / 20
+    print(
+        f"[bench-extra] config-4 video 1080p device-side step rate"
+        f" (match+EMA): {1/per:.1f} frames/s ({per*1e3:.2f} ms/frame)",
+        file=sys.stderr,
+    )
+
     # --- config 5: BA iters/s ------------------------------------------------
     from stepth_tpu.fusion import ba, geometry as geo
 

@@ -195,8 +195,11 @@ def _kernel(
                 far = jnp.logical_and(jnp.logical_not(upd), d > bestd + 1)
                 second = jnp.where(upd, runlag2, second)
                 second = jnp.where(far, jnp.minimum(second, aggc), second)
-                # now min over [0, d-1]; at d=0 `prev` is the init zero, skip
-                runlag2 = jnp.where(d >= 1, jnp.minimum(runlag2, prev), runlag2)
+                # now min over [0, d-1]; at d=0 `prev` is the init zero — gate
+                # it out arithmetically (a scalar-conditioned select over the
+                # vector trips a Mosaic replicated-layout relayout bug)
+                gate_big = (d < 1).astype(jnp.float32) * _BIG
+                runlag2 = jnp.minimum(runlag2, prev + gate_big)
 
             best = jnp.where(upd, aggc, best)
             bestd = jnp.where(upd, d, bestd)
@@ -213,6 +216,17 @@ def _kernel(
 
         zero = jnp.zeros((TH, W), jnp.float32)
         izero = jnp.zeros((TH, W), jnp.int32)
+        # layout anchor: a computed (non-splat) zero vector. Splat-initialized
+        # carries that survive the loop (runlag2/second) trip a Mosaic
+        # relayout bug ("non-singleton dimension replicated in destination"):
+        # the carry's layout is inferred replicated from the init while the
+        # body yields a concrete layout. Mixing in iota-derived zeros pins the
+        # init to a concrete layout.
+        anchor = jnp.minimum(
+            jax.lax.broadcasted_iota(jnp.int32, (TH, W), 0)
+            + jax.lax.broadcasted_iota(jnp.int32, (TH, W), 1),
+            0,
+        ).astype(jnp.float32)
         init = (
             zero + _BIG,  # best
             izero,  # bestd
@@ -222,8 +236,8 @@ def _kernel(
             zero,  # prev agg
             zero + _BIG,  # bestR
             izero,  # bestRd
-            zero + _BIG,  # runlag2: min cost over [0, d-2]
-            zero + _BIG,  # second best outside the ±1 exclusion zone
+            zero + _BIG + anchor,  # runlag2: min cost over [0, d-2]
+            zero + _BIG + anchor,  # second best outside the ±1 exclusion zone
             list(rp) if nplanes else r,  # r_rot = roll(r, d), advanced in-loop
         )
         (best, bestd, cm1, cb, cp1, _, bestr, bestrd, _, second, _) = (
