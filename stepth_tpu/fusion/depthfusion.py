@@ -16,10 +16,11 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from stepth_tpu.fusion import geometry as geo
 
-_FAR = jnp.float32(1e9)
+_FAR = np.float32(1e9)  # numpy, not jnp: avoid backend init at import
 
 
 class FusedDepth(NamedTuple):

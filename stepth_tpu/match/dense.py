@@ -23,10 +23,14 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from stepth_tpu.config import MatchConfig
 
-_INVALID = jnp.float32(-1.0)
+# numpy scalar, NOT jnp: a module-level jnp constant would initialize the XLA
+# backend at import time, which breaks `jax.distributed.initialize` (it must
+# run before any backend init — see tools/multiproc_worker.py).
+_INVALID = np.float32(-1.0)
 
 
 class MatchResult(NamedTuple):

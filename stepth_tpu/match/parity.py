@@ -31,7 +31,7 @@ import numpy as np
 
 from stepth_tpu.oracle.subdivision import default_max_splits, level_geometry
 
-_BIG = jnp.int32(1 << 30)
+_BIG = np.int32(1 << 30)  # numpy, not jnp: avoid backend init at import
 
 
 class LeafMaps(NamedTuple):

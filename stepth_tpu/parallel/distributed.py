@@ -3,10 +3,12 @@
 The reference has no distributed layer at all; here multi-host runs use JAX's
 standard coordinator + XLA collectives over ICI/DCN. This module is the thin
 bring-up shim: initialize the process group, build the global mesh, and expose
-failure-detection knobs. Multi-host hardware is not available in the round-1
-environment; the logic is exercised via the single-process virtual mesh
-(``xla_force_host_platform_device_count``) and the driver's
-``dryrun_multichip``.
+failure-detection knobs. Multi-host TPU hardware is not available in this
+environment, but the process topology IS exercised for real: the drill in
+tests/test_multiprocess.py runs two OS processes (4 virtual CPU devices each)
+through this module — coordination-service bring-up, one 8-device global mesh,
+cross-process collectives via Gloo, and heartbeat-based peer-failure
+detection (tools/multiproc_worker.py).
 """
 
 from __future__ import annotations

@@ -1,0 +1,140 @@
+"""Worker body for the multi-process `jax.distributed` drill.
+
+The reference has no distributed layer at all (SURVEY.md §2.3: its only
+parallelism is an in-process rayon pool, reference src/depth_image.rs:111-129);
+the TPU build's multi-host story is `jax.distributed` + XLA collectives. This
+worker exercises that story for real — N OS processes, each owning 4 virtual
+CPU devices, forming one 8-device global mesh through the coordination
+service — so the multi-host code path (global mesh construction, cross-process
+halo ppermutes, cross-process pmax, runtime heartbeat failure detection) runs
+in CI without TPU pod hardware.
+
+Run as:  python tools/multiproc_worker.py <pid> <nprocs> <port> <mode>
+Modes:
+  match    — sharded dense match + collective depth normalization on the
+             2-process global mesh; every process asserts its addressable
+             shards are bit-identical to the single-device reference.
+  failure  — process 1 dies abruptly after bring-up; process 0 must *detect*
+             the failure (coordination-service heartbeat) instead of hanging
+             in the next barrier, then exits 0 to signal a successful drill.
+"""
+
+import os
+import sys
+
+
+def main() -> None:
+    pid, nprocs, port, mode = (
+        int(sys.argv[1]),
+        int(sys.argv[2]),
+        sys.argv[3],
+        sys.argv[4],
+    )
+    os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=4")
+
+    import jax
+
+    # The axon sitecustomize pins the tunneled-TPU platform even when the
+    # caller exports JAX_PLATFORMS=cpu; force the CPU backend explicitly
+    # before it initializes (same workaround as __graft_entry__).
+    jax.config.update("jax_platforms", "cpu")
+
+    from stepth_tpu.parallel import distributed
+
+    distributed.initialize(
+        coordinator_address=f"localhost:{port}",
+        num_processes=nprocs,
+        process_id=pid,
+        heartbeat_timeout_s=10,
+        initialization_timeout_s=120,
+    )
+    assert distributed.process_info() == (pid, nprocs)
+
+    if mode == "match":
+        _drill_match(pid)
+    elif mode == "failure":
+        _drill_failure(pid)
+    else:
+        raise SystemExit(f"unknown mode {mode}")
+
+
+def _drill_match(pid: int) -> None:
+    import jax
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from stepth_tpu.config import MatchConfig
+    from stepth_tpu.match import dense
+    from stepth_tpu.parallel import distributed, sharded
+
+    mesh = distributed.global_mesh(data=1, tile=8)
+    assert mesh.devices.size == 8, mesh
+
+    rng = np.random.default_rng(7)
+    h, w, shift = 64, 96, 5
+    left = rng.uniform(0, 255, (h, w)).astype(np.float32)
+    right = np.roll(left, -shift, axis=1).astype(np.float32)
+    cfg = MatchConfig(num_disparities=16, window=9, cost="sad")
+
+    # Build *global* arrays from the (replicated) host data: each process
+    # contributes only the row-tiles its local devices own.
+    sh = NamedSharding(mesh, P("tile", None))
+    gl = jax.make_array_from_callback(left.shape, sh, lambda idx: left[idx])
+    gr = jax.make_array_from_callback(right.shape, sh, lambda idx: right[idx])
+
+    res = sharded.match_pair_sharded(gl, gr, cfg, mesh)
+
+    # Single-device reference, computed redundantly on every host.
+    ref = dense.match_pair(left, right, cfg)
+    ref_d = np.asarray(ref.disparity)
+    ref_v = np.asarray(ref.valid)
+    for shard in res.disparity.addressable_shards:
+        # subpixel disparity: float-exactness modulo compiler fma/vectorization
+        # differences (same tolerance as the single-process seam tests)
+        np.testing.assert_allclose(
+            np.asarray(shard.data), ref_d[shard.index], atol=1e-5,
+            err_msg=f"pid{pid}",
+        )
+    for shard in res.valid.addressable_shards:
+        np.testing.assert_array_equal(
+            np.asarray(shard.data), ref_v[shard.index], err_msg=f"pid{pid}"
+        )
+
+    # Collective normalization: the global max rides a cross-process pmax.
+    raw = (np.abs(ref_d) * 20).astype(np.uint8)
+    graw = jax.make_array_from_callback(raw.shape, sh, lambda idx: raw[idx])
+    norm = sharded.normalize_depth_sharded(graw, mesh)
+    want = (raw.astype(np.int64) * 255 // int(raw.max())).astype(np.uint8)
+    for shard in norm.addressable_shards:
+        np.testing.assert_array_equal(
+            np.asarray(shard.data), want[shard.index], err_msg=f"pid{pid}"
+        )
+    print(f"[worker {pid}] match drill OK", flush=True)
+
+
+def _drill_failure(pid: int) -> None:
+    import time
+
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("stepth-drill-up")
+    if pid == 1:
+        # Die without goodbye — no coordination-service shutdown, simulating
+        # a host crash. Process 0 must notice via missed heartbeats.
+        os._exit(42)
+    time.sleep(2.0)
+    t0 = time.monotonic()
+    try:
+        multihost_utils.sync_global_devices("stepth-drill-after-death")
+    except Exception as e:  # noqa: BLE001 — any fail-fast error is a pass
+        dt = time.monotonic() - t0
+        print(f"[worker 0] peer failure detected in {dt:.1f}s: {type(e).__name__}",
+              flush=True)
+        # skip the atexit distributed-shutdown barrier: with the peer dead it
+        # would fail and hard-abort this (already successful) drill
+        os._exit(0)
+    raise SystemExit("barrier succeeded after peer death — detector inert")
+
+
+if __name__ == "__main__":
+    main()
