@@ -28,6 +28,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import jax.scipy.linalg
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
@@ -75,6 +76,43 @@ def _segsum(x, idx, num_segments: int):
     return out.reshape((num_segments,) + x.shape[1:])
 
 
+def _inv3(m):
+    """Closed-form adjugate inverse for batched 3×3 SPD blocks. TPU batched
+    `jnp.linalg.inv` lowers to LU triangular solves that serialize — measured
+    3.8 ms for [4096,3,3] — while the cofactor formula is a handful of fused
+    VPU elementwise ops (≈0 ms)."""
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    A = e * i - f * h
+    B = f * g - d * i
+    C = d * h - e * g
+    D = c * h - b * i
+    E = a * i - c * g
+    F = b * g - a * h
+    G = b * f - c * e
+    H = c * d - a * f
+    I = a * e - b * d
+    det = a * A + b * B + c * C
+    adj = jnp.stack(
+        [
+            jnp.stack([A, D, G], -1),
+            jnp.stack([B, E, H], -1),
+            jnp.stack([C, F, I], -1),
+        ],
+        -2,
+    )
+    return adj / det[..., None, None]
+
+
+def _inv_spd(m):
+    """Batched SPD inverse via Cholesky (for the [C,6,6] camera blocks —
+    48× faster than batched LU `jnp.linalg.inv` on TPU: 0.016 vs 0.77 ms)."""
+    chol = jnp.linalg.cholesky(m)
+    eye = jnp.broadcast_to(jnp.eye(m.shape[-1], dtype=m.dtype), m.shape)
+    return jax.scipy.linalg.cho_solve((chol, True), eye)
+
+
 def residuals(problem: BAProblem, poses, points) -> jax.Array:
     """Weighted reprojection residuals f32[N, 2]."""
     r = jax.vmap(_residual_one, in_axes=(0, 0, None, 0))(
@@ -110,48 +148,61 @@ def _schur_solve(problem, A, B, r, lm_lambda, cg_iters, axis_name: Optional[str]
     def allsum(x):
         return lax.psum(x, axis_name) if axis_name else x
 
-    # Hessian blocks
-    U = allsum(
-        _segsum(jnp.einsum("nki,nkj->nij", A, A), ci, C)
-    )  # [C,6,6]
-    V = allsum(
-        _segsum(jnp.einsum("nki,nkj->nij", B, B), pi, Pn)
-    )  # [P,3,3]
-    W = jnp.einsum("nki,nkj->nij", A, B)  # [N,6,3] stays local
+    # Per-observation products as broadcast-multiply-sums, NOT einsums: with
+    # default precision, XLA lowers these tiny batched einsums to bf16 MXU
+    # dots (measured max error 0.14 on N(0,1) data!), while the broadcast
+    # form is exact f32 on the VPU and equally fast (~0.07 ms for AᵀA).
+    def outer(a, b):  # Σ_k a[n,k,i]·b[n,k,j] → [N,i,j]
+        return jnp.sum(a[:, :, :, None] * b[:, :, None, :], axis=1)
 
-    # gradient
-    g_c = allsum(_segsum(jnp.einsum("nki,nk->ni", A, r), ci, C))
-    g_p = allsum(_segsum(jnp.einsum("nki,nk->ni", B, r), pi, Pn))
+    def matvec_t(m, v):  # Σ_i m[n,i,j]·v[n,i] → [N,j]
+        return jnp.sum(m * v[:, :, None], axis=1)
+
+    def matvec(m, v):  # Σ_j m[n,i,j]·v[n,j] → [N,i]
+        return jnp.sum(m * v[:, None, :], axis=2)
+
+    # Hessian blocks + gradients. The camera- and point-side reductions each
+    # fuse the Hessian block and the gradient into ONE one-hot matmul
+    # (concat along the feature axis): [N,42]→C and [N,12]→P.
+    cam_feats = jnp.concatenate(
+        [outer(A, A).reshape(-1, 36), matvec_t(A, r)], axis=1
+    )  # [N, 42]
+    pt_feats = jnp.concatenate(
+        [outer(B, B).reshape(-1, 9), matvec_t(B, r)], axis=1
+    )  # [N, 12]
+    cam_red = allsum(_segsum(cam_feats, ci, C))  # [C,42]
+    pt_red = allsum(_segsum(pt_feats, pi, Pn))  # [P,12]
+    U = cam_red[:, :36].reshape(C, 6, 6)
+    g_c = cam_red[:, 36:]
+    V = pt_red[:, :9].reshape(Pn, 3, 3)
+    g_p = pt_red[:, 9:]
+    W = outer(A, B)  # [N,6,3] stays local
 
     # LM damping (additive, Marquardt-style on the diagonal)
     eye6 = jnp.eye(6, dtype=U.dtype)
     eye3 = jnp.eye(3, dtype=V.dtype)
     U_d = U + lm_lambda * eye6
     V_d = V + lm_lambda * eye3
-    V_inv = jnp.linalg.inv(V_d)  # [P,3,3] tiny batched inverses
+    V_inv = _inv3(V_d)  # [P,3,3] closed-form batched inverses
 
     # Schur RHS: b = -g_c + W V⁻¹ g_p
-    Vg = jnp.einsum("pij,pj->pi", V_inv, g_p)
-    b = -g_c + allsum(
-        _segsum(jnp.einsum("nij,nj->ni", W, Vg[pi]), ci, C)
-    )
+    Vg = matvec(V_inv, g_p)
+    b = -g_c + allsum(_segsum(matvec(W, Vg[pi]), ci, C))
 
     def S_apply(x):  # x [C,6] → S x [C,6]
-        Ux = jnp.einsum("cij,cj->ci", U_d, x)
+        Ux = matvec(U_d, x)
         Wx_p = allsum(
-            _segsum(
-                jnp.einsum("nij,ni->nj", W, x[ci]), pi, num_segments=Pn
-            )
+            _segsum(matvec_t(W, x[ci]), pi, Pn)
         )  # [P,3] = Σ Wᵀ x over each point's obs
-        z = jnp.einsum("pij,pj->pi", V_inv, Wx_p)
-        WVz = allsum(_segsum(jnp.einsum("nij,nj->ni", W, z[pi]), ci, C))
+        z = matvec(V_inv, Wx_p)
+        WVz = allsum(_segsum(matvec(W, z[pi]), ci, C))
         return Ux - WVz
 
     # block-Jacobi preconditioner M⁻¹ = diag(U_d)⁻¹
-    M_inv = jnp.linalg.inv(U_d)
+    M_inv = _inv_spd(U_d)
 
     def precond(x):
-        return jnp.einsum("cij,cj->ci", M_inv, x)
+        return matvec(M_inv, x)
 
     # CG on S x = b
     x0 = jnp.zeros_like(b)
@@ -175,10 +226,8 @@ def _schur_solve(problem, A, B, r, lm_lambda, cg_iters, axis_name: Optional[str]
     dpose = x
 
     # back-substitute points: Δp = V⁻¹(−g_p − Wᵀ Δc)
-    Wt_dc = allsum(
-        _segsum(jnp.einsum("nij,ni->nj", W, dpose[ci]), pi, Pn)
-    )
-    dpoint = jnp.einsum("pij,pj->pi", V_inv, -g_p - Wt_dc)
+    Wt_dc = allsum(_segsum(matvec_t(W, dpose[ci]), pi, Pn))
+    dpoint = matvec(V_inv, -g_p - Wt_dc)
     return dpose, dpoint
 
 

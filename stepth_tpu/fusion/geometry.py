@@ -35,12 +35,18 @@ def hat(w: jax.Array) -> jax.Array:
     )
 
 
+def _matmul3(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Batched 3×3 product as a broadcast-multiply-sum (exact f32 on the VPU;
+    `@` would lower to a bf16 MXU dot under default precision)."""
+    return jnp.sum(a[..., :, :, None] * b[..., None, :, :], axis=-2)
+
+
 def exp_so3(w: jax.Array) -> jax.Array:
     """Rodrigues: axis-angle [...,3] → rotation matrix [...,3,3]."""
     theta2 = jnp.sum(w * w, axis=-1, keepdims=True)[..., None]
     theta = jnp.sqrt(theta2 + _EPS)
     K = hat(w)
-    K2 = K @ K
+    K2 = _matmul3(K, K)
     # sin θ/θ and (1-cos θ)/θ² with series fallback near 0
     small = theta2 < 1e-8
     a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
@@ -82,25 +88,32 @@ def se3_from_Rt(R: jax.Array, t: jax.Array) -> jax.Array:
     return jnp.concatenate([log_so3(R), t], axis=-1)
 
 
+def _rotate(R: jax.Array, v: jax.Array) -> jax.Array:
+    """R·v as a broadcast-multiply-sum. An einsum here lowers to a bf16 MXU
+    dot under default precision (≈1e-2 rel error on rotations); the broadcast
+    form is exact f32 on the VPU at identical speed."""
+    return jnp.sum(R * v[..., None, :], axis=-1)
+
+
 def transform(xi: jax.Array, pts: jax.Array) -> jax.Array:
     """Apply pose ``xi`` [...,6] to points [...,3]: R·p + t."""
     R, t = exp_se3(xi)
-    return jnp.einsum("...ij,...j->...i", R, pts) + t
+    return _rotate(R, pts) + t
 
 
 def compose(xi_a: jax.Array, xi_b: jax.Array) -> jax.Array:
     """Pose of (a ∘ b): first apply b, then a."""
     Ra, ta = exp_se3(xi_a)
     Rb, tb = exp_se3(xi_b)
-    R = Ra @ Rb
-    t = jnp.einsum("...ij,...j->...i", Ra, tb) + ta
+    R = _matmul3(Ra, Rb)
+    t = _rotate(Ra, tb) + ta
     return se3_from_Rt(R, t)
 
 
 def inverse(xi: jax.Array) -> jax.Array:
     R, t = exp_se3(xi)
     Rt = jnp.swapaxes(R, -1, -2)
-    return se3_from_Rt(Rt, -jnp.einsum("...ij,...j->...i", Rt, t))
+    return se3_from_Rt(Rt, -_rotate(Rt, t))
 
 
 def relative(xi_a: jax.Array, xi_b: jax.Array) -> jax.Array:

@@ -65,8 +65,10 @@ def test_solve_reduces_cost(rng):
 def test_solve_recovers_ground_truth(rng):
     problem, poses_gt, pts_gt = make_problem(rng, perturb=0.03)
     state = ba.solve(problem, iters=12, cg_iters=15)
-    # reprojection cost ≈ 0 (noiseless observations)
-    assert float(state.cost) < 1e-3
+    # reprojection cost ≈ 0 (noiseless observations). The exact-f32 product
+    # pipeline (no bf16 einsum lowering) reaches ~2e-10 on every seed; 1e-8
+    # guards against accuracy regressions 50× above the floor.
+    assert float(state.cost) < 1e-8
 
 
 def test_masked_padding_slots_ignored(rng):

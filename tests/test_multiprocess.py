@@ -67,6 +67,15 @@ def test_two_process_global_mesh_match():
 
 def test_two_process_heartbeat_failure_detection():
     # worker 1 hard-exits(42) mid-run; worker 0 must detect the dead peer
-    # (heartbeat_timeout_s=10) and exit 0 instead of hanging.
-    outs = _run_drill("failure", {0: {0}, 1: {42}}, timeout_s=420)
-    assert "peer failure detected" in outs[0]
+    # (heartbeat_timeout_s=10) instead of hanging. Detection surfaces through
+    # one of two racing paths, both of which are the detector working:
+    #   a) the barrier raises in Python -> worker prints "peer failure
+    #      detected" and exits 0;
+    #   b) the coordination service's error-polling thread wins the race and
+    #      fail-fast terminates the process (absl FATAL, rc 1) with the
+    #      unhealthy-tasks message before the Python except runs.
+    outs = _run_drill("failure", {0: {0, 1}, 1: {42}}, timeout_s=420)
+    assert (
+        "peer failure detected" in outs[0]
+        or "stopped sending heartbeats" in outs[0]
+    ), outs[0]
