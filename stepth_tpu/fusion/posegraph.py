@@ -60,8 +60,12 @@ def optimize(
                 [jnp.zeros(6, J.dtype), jnp.ones(dim - 6, J.dtype)]
             )
             J = J * mask[None, :]
-        H = J.T @ J + damping * jnp.eye(dim, dtype=J.dtype)
-        g = J.T @ r
+        # precision=HIGHEST: default-precision `@` lowers to bf16 MXU dots
+        # (see fusion/ba.py); the normal equations need full f32.
+        H = jnp.matmul(J.T, J, precision=lax.Precision.HIGHEST) + damping * jnp.eye(
+            dim, dtype=J.dtype
+        )
+        g = jnp.matmul(J.T, r, precision=lax.Precision.HIGHEST)
         step = jnp.linalg.solve(H, g)
         if fix_first:
             step = step.at[:6].set(0.0)

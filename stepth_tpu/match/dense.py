@@ -47,7 +47,11 @@ def grayscale(rgb) -> jax.Array:
     if rgb.ndim == 2:
         return rgb.astype(jnp.float32)
     rgb = rgb[..., :3].astype(jnp.float32)
-    return rgb @ jnp.asarray([0.2126, 0.7152, 0.0722], dtype=jnp.float32)
+    # explicit weighted sum, NOT `@`: a dot here lowers to a bf16 MXU matvec
+    # under default precision (~0.1 gray-level error); this stays exact f32.
+    return (
+        0.2126 * rgb[..., 0] + 0.7152 * rgb[..., 1] + 0.0722 * rgb[..., 2]
+    )
 
 
 def census_transform(gray: jax.Array, window: int = 7) -> jax.Array:
