@@ -63,9 +63,11 @@ def _segsum(x, idx, num_segments: int):
     """Segment-sum as a one-hot matmul. TPU scatter-add (what
     `jax.ops.segment_sum` lowers to) serializes on the VPU — measured 3.7-4.0
     ms for the [65536,6,6]→32 / [65536,3,3]→4096 Hessian reductions — while
-    the MXU does the identical reduction in ≤0.05 ms. XLA fuses the
+    the MXU does the same reduction in 0.2–0.5 ms. XLA fuses the
     iota-compare one-hot into the matmul operand, so the [N, S] mask is never
-    materialized in HBM. precision='highest' keeps f32 accumulation."""
+    materialized in HBM. precision='highest' keeps f32 accumulation
+    (agrees with the scatter path to ≤1e-7 rel; only summation order
+    differs)."""
     flat = x.reshape(x.shape[0], -1)
     oh = (idx[:, None] == jnp.arange(num_segments, dtype=idx.dtype)[None, :]).astype(
         flat.dtype

@@ -129,3 +129,44 @@ def test_ba_checkpoint_resume(rng, tmp_path):
         lm_lambda0=float(np.asarray(restored.lm_lambda)),
     )
     assert float(resumed.cost) <= float(full.cost) * 5 + 1e-6
+
+
+# --- numeric-kernel units: the MXU segsum and closed-form inverses ----------
+
+
+def test_segsum_matches_scatter(rng):
+    import jax
+
+    x = jnp.asarray(rng.normal(size=(4096, 6, 6)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, 37, 4096).astype(np.int32))
+    want = jax.ops.segment_sum(x, idx, num_segments=37)
+    got = ba._segsum(x, idx, 37)
+    scale = float(jnp.max(jnp.abs(want)))
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-6 * scale
+    )
+
+
+def test_segsum_empty_segments_are_zero(rng):
+    x = jnp.ones((8, 3), jnp.float32)
+    idx = jnp.asarray([0, 0, 2, 2, 2, 5, 5, 5], jnp.int32)
+    out = np.asarray(ba._segsum(x, idx, 7))
+    np.testing.assert_array_equal(out[[1, 3, 4, 6]], 0.0)
+    np.testing.assert_array_equal(out[0], 2.0)
+    np.testing.assert_array_equal(out[2], 3.0)
+
+
+def test_inv3_matches_numpy(rng):
+    m = rng.normal(size=(64, 3, 3)).astype(np.float32)
+    spd = np.einsum("pij,pkj->pik", m, m) + 0.1 * np.eye(3, dtype=np.float32)
+    got = np.asarray(ba._inv3(jnp.asarray(spd)))
+    want = np.linalg.inv(spd.astype(np.float64)).astype(np.float32)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-4)
+
+
+def test_inv_spd_matches_numpy(rng):
+    m = rng.normal(size=(16, 6, 6)).astype(np.float32)
+    spd = np.einsum("pij,pkj->pik", m, m) + 0.5 * np.eye(6, dtype=np.float32)
+    got = np.asarray(ba._inv_spd(jnp.asarray(spd)))
+    want = np.linalg.inv(spd.astype(np.float64)).astype(np.float32)
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=1e-4)
