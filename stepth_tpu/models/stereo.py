@@ -73,6 +73,29 @@ class StereoModel:
             return res.disparity.astype("uint8")
         return dense.disparity_to_depth_u8(res.disparity, self.match.num_disparities)
 
+    def batched(self):
+        """One-dispatch batch path for multi-stream serving: a callable
+        mapping stacked pairs ``[B,H,W]`` (or ``[B,H,W,3]``) to a stacked
+        :class:`MatchResult`, rolled as ``lax.scan`` inside a single jit.
+
+        Frames run device-sequentially — one 1080p frame already saturates
+        the chip — but the whole batch costs ONE dispatch, so per-frame
+        latency is the device throughput rather than throughput + host
+        round-trip (1–3 ms over remote links). ``vmap`` is not an option
+        here: the fused kernels use manual-DMA (`memory_space=ANY`) operands
+        that Pallas cannot batch."""
+        if self.backend == "parity":
+            raise NotImplementedError("parity backend is host-side; loop it")
+
+        def run(lefts, rights):
+            def step(_, lr):
+                return None, self(*lr)
+
+            _, out = jax.lax.scan(step, None, (lefts, rights))
+            return out
+
+        return run
+
     def sharded(self, mesh):
         """Return a callable running this model row-tile-sharded over ``mesh``."""
         from stepth_tpu.parallel import sharded

@@ -139,3 +139,53 @@ def test_disparity_to_depth_u8_range():
     assert out.dtype == np.uint8
     assert out[0, 0] == 0 and out[0, 2] == 255
     assert 125 <= out[0, 1] <= 130
+
+
+def test_batched_model_equals_per_frame(rng):
+    """models.StereoModel.batched(): one-dispatch serving path over stacked
+    pairs equals the per-frame call bit-for-bit (lax.scan adds no math)."""
+    import jax
+
+    from stepth_tpu.models import stereo
+
+    B, h, w, shift = 3, 48, 96, 4
+    base = (np.cumsum(rng.uniform(0, 255, (B, h, w)), axis=2) % 255).astype(
+        np.float32
+    )
+    left = jnp.asarray(base)
+    right = jnp.asarray(np.roll(base, -shift, axis=2))
+    model = stereo.StereoModel(
+        backend="dense", match=MatchConfig(num_disparities=8, window=5)
+    )
+    out = jax.jit(model.batched())(left, right)
+    assert out.disparity.shape == (B, h, w)
+    for i in range(B):
+        ref = model(left[i], right[i])
+        np.testing.assert_array_equal(
+            np.asarray(out.disparity[i]), np.asarray(ref.disparity)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out.valid[i]), np.asarray(ref.valid)
+        )
+
+
+def test_batched_model_flagship_interpret(rng):
+    """The batched path also wraps the fused-kernel backend (interpret mode
+    on CPU, tiny shapes)."""
+    import jax
+
+    from stepth_tpu.models import stereo
+
+    B, h, w, shift = 2, 32, 160, 3
+    base = (np.cumsum(rng.uniform(0, 255, (B, h, w)), axis=2) % 255).astype(
+        np.float32
+    )
+    left = jnp.asarray(base)
+    right = jnp.asarray(np.roll(base, -shift, axis=2))
+    model = stereo.flagship(num_disparities=8)
+    out = jax.jit(model.batched())(left, right)
+    for i in range(B):
+        ref = model(left[i], right[i])
+        np.testing.assert_array_equal(
+            np.asarray(out.disparity[i]), np.asarray(ref.disparity)
+        )
