@@ -59,22 +59,36 @@ def _residual_one(pose, point, intr, uv):
     return geometry.project(geometry.transform(pose, point), intr) - uv
 
 
+# Above this many segments the O(N·S) one-hot matmul loses to the O(N)
+# scatter; measured full-solve crossover on a v5e (near-tie at S=8192:
+# 33.8 vs 36.4 ms/LM-iter; S=4096: 9.9 vs 18.3 for one-hot; S=16384:
+# 110 vs 81 for scatter).
+_ONEHOT_MAX_SEGMENTS = 8192
+
+
 def _segsum(x, idx, num_segments: int):
-    """Segment-sum as a one-hot matmul. TPU scatter-add (what
-    `jax.ops.segment_sum` lowers to) serializes on the VPU — measured 3.7-4.0
-    ms for the [65536,6,6]→32 / [65536,3,3]→4096 Hessian reductions — while
-    the MXU does the same reduction in 0.2–0.5 ms. XLA fuses the
-    iota-compare one-hot into the matmul operand, so the [N, S] mask is never
-    materialized in HBM. precision='highest' keeps f32 accumulation
-    (agrees with the scatter path to ≤1e-7 rel; only summation order
-    differs)."""
+    """Segment-sum, strategy picked by segment count (both exact f32).
+
+    * ``num_segments ≤ 8192`` — one-hot matmul on the MXU
+      (``precision=HIGHEST``): XLA fuses the iota-compare mask AND the
+      producer of ``x`` into the dot, so nothing materializes in HBM; 1.9×
+      faster than scatter in the full solve at bench scale.
+    * larger — ``segment_sum`` on the operand **flattened to 2-D**. TPU
+      scatter-add cost is wildly shape-dependent: scattering [65536,3,3]
+      takes 3.8 ms while the identical reduction on the flattened
+      [65536,9] view takes 0.34 ms (11×) — trailing minor dims defeat the
+      vectorized scatter lowering. O(N·feat) keeps huge problems linear
+      (3.4× faster than one-hot at S=65536)."""
     flat = x.reshape(x.shape[0], -1)
-    oh = (idx[:, None] == jnp.arange(num_segments, dtype=idx.dtype)[None, :]).astype(
-        flat.dtype
-    )
-    out = lax.dot_general(
-        oh, flat, (((0,), (0,)), ((), ())), precision=lax.Precision.HIGHEST
-    )
+    if num_segments <= _ONEHOT_MAX_SEGMENTS:
+        oh = (
+            idx[:, None] == jnp.arange(num_segments, dtype=idx.dtype)[None, :]
+        ).astype(flat.dtype)
+        out = lax.dot_general(
+            oh, flat, (((0,), (0,)), ((), ())), precision=lax.Precision.HIGHEST
+        )
+    else:
+        out = jax.ops.segment_sum(flat, idx, num_segments=num_segments)
     return out.reshape((num_segments,) + x.shape[1:])
 
 

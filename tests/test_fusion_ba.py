@@ -170,3 +170,16 @@ def test_inv_spd_matches_numpy(rng):
     got = np.asarray(ba._inv_spd(jnp.asarray(spd)))
     want = np.linalg.inv(spd.astype(np.float64)).astype(np.float32)
     np.testing.assert_allclose(got, want, rtol=5e-3, atol=1e-4)
+
+
+def test_segsum_large_segment_branch(rng):
+    """The >8192-segment branch (flattened scatter) agrees with the one-hot
+    branch bit-for... well, to f32 summation-order tolerance."""
+    import jax
+
+    x = jnp.asarray(rng.normal(size=(2048, 3, 3)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, 9000, 2048).astype(np.int32))
+    got = ba._segsum(x, idx, 9000)  # scatter branch
+    want = jax.ops.segment_sum(x, idx, num_segments=9000)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    assert got.shape == (9000, 3, 3)
