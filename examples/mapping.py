@@ -9,7 +9,6 @@ import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from stepth_tpu.fusion import ba, depthfusion, geometry as geo, posegraph

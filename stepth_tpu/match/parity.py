@@ -21,7 +21,6 @@ Everything is static-shape; no host syncs inside the pipeline.
 
 from __future__ import annotations
 
-import math
 from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
@@ -141,7 +140,115 @@ def _isqrt(d2: jax.Array) -> jax.Array:
     return s
 
 
-@partial(jax.jit, static_argnames=("max_radius", "phase_a_radius"))
+def _probe(py, px, rank_key, best, cy, cx, val, add_flat, prec, ah, aw):
+    """Evaluate one offset position for every pixel; keep the min key."""
+    best_key, best_dy, best_dx = best
+    inb = (py >= 0) & (py < ah) & (px >= 0) & (px < aw)
+    idx = jnp.clip(py, 0, ah - 1) * aw + jnp.clip(px, 0, aw - 1)
+    cand = add_flat[idx]
+    ok = inb & (jnp.abs(cand - val) < prec).all(axis=-1)
+    upd = ok & (rank_key < best_key)
+    return (
+        jnp.where(upd, rank_key, best_key),
+        jnp.where(upd, py - cy, best_dy),
+        jnp.where(upd, px - cx, best_dx),
+    )
+
+
+@partial(jax.jit, static_argnames=("max_radius", "phase_a_radius", "ah", "aw"))
+def _phase_a(leaf, add_flat, prec, max_radius, phase_a_radius, ah, aw):
+    n = leaf.seed_x.size
+    cx = leaf.seed_x.reshape(-1)
+    cy = leaf.seed_y.reshape(-1)
+    val = leaf.value.reshape(-1, 3)
+    r_hi = max_radius - 1
+    ra = min(phase_a_radius, r_hi)
+    dys, dxs, keys = _phase_a_offsets(ra, max_radius)
+    dys_j, dxs_j, keys_j = jnp.asarray(dys), jnp.asarray(dxs), jnp.asarray(keys)
+
+    def body_a(k, best):
+        return _probe(
+            cy + dys_j[k], cx + dxs_j[k], keys_j[k], best,
+            cy, cx, val, add_flat, prec, ah, aw,
+        )
+
+    init = (jnp.full((n,), _BIG), jnp.zeros((n,), jnp.int32), jnp.zeros((n,), jnp.int32))
+    best_key, best_dy, best_dx = jax.lax.fori_loop(0, len(dys), body_a, init)
+    matched = best_key < _BIG
+    # per-pixel last ring with any in-bounds point (docs/SEMANTICS.md §3)
+    r_out = jnp.maximum(jnp.maximum(cy, ah - 1 - cy), jnp.maximum(cx, aw - 1 - cx))
+    return matched, best_dy, best_dx, r_out
+
+
+@partial(jax.jit, static_argnames=("rings", "width_bound", "r_hi", "ah", "aw"))
+def _phase_b_block(r0, state, leaf, add_flat, prec, rings, width_bound, r_hi, ah, aw):
+    """``rings`` consecutive search rings starting at traced radius ``r0``.
+
+    Identical per-ring merge semantics to a monolithic while_loop; chunking
+    exists because one XLA program sweeping all 255 rings over a full-res
+    image runs for minutes, which the remote-TPU (axon) watchdog kills as a
+    hung worker (empirically: 24-ring blocks at 600×400 die, 4-ring blocks
+    survive). Blocks keep each dispatch under a fixed work budget and let the
+    host early-exit between blocks (the reference's per-block early-out,
+    src/helpers.rs:49-51, amortized). ``width_bound`` is a static (bucketed)
+    bound on 2·r+1 within the block, so small rings don't sweep the full
+    509-probe row."""
+    cx = leaf.seed_x.reshape(-1)
+    cy = leaf.seed_y.reshape(-1)
+    val = leaf.value.reshape(-1, 3)
+    n = cx.size
+
+    def body_ring(i, st):
+        matched, bdy, bdx = st
+        r = r0 + i
+        width = 2 * r + 1
+        ok_r = r <= r_hi
+
+        def body_t(t, best):
+            tv = t - r  # sweep coordinate in [-r, r]; mask t > 2r
+            ok_t = ok_r & (t < width)
+            key0 = jnp.where(ok_t, 0 * width + t, _BIG)
+            key1 = jnp.where(ok_t, 1 * width + t, _BIG)
+            key2 = jnp.where(ok_t, 2 * width + t, _BIG)
+            key3 = jnp.where(ok_t, 3 * width + t, _BIG)
+            args = (cy, cx, val, add_flat, prec, ah, aw)
+            best = _probe(cy + r, cx + tv, key0, best, *args)  # row y+r
+            best = _probe(cy - r, cx + tv, key1, best, *args)  # row y-r
+            best = _probe(cy + tv, cx + r, key2, best, *args)  # col x+r
+            best = _probe(cy + tv, cx - r, key3, best, *args)  # col x-r
+            return best
+
+        ring_init = (
+            jnp.full((n,), _BIG),
+            jnp.zeros((n,), jnp.int32),
+            jnp.zeros((n,), jnp.int32),
+        )
+        rk, rdy, rdx = jax.lax.fori_loop(0, width_bound, body_t, ring_init)
+        newly = (~matched) & (rk < _BIG)
+        return matched | newly, jnp.where(newly, rdy, bdy), jnp.where(newly, rdx, bdx)
+
+    return jax.lax.fori_loop(0, rings, body_ring, state)
+
+
+# per-dispatch probe budget (ring-width × pixels × 4 sides); ~a few seconds
+# of device time — far under the remote watchdog that kills long dispatches
+_PHASE_B_WORK = 1.5e9
+
+
+def _phase_b_plan(r: int, r_hi: int, n: int):
+    """(rings, width_bound) for the block starting at ring ``r``: as many
+    rings as fit the work budget (power-of-two, ≤32, so the jit cache stays
+    small), and the smallest power-of-two width bucket ≥ the block's widest
+    ring."""
+    rings = max(1, int(_PHASE_B_WORK // (4 * (2 * r + 1) * max(n, 1))))
+    rings = min(32, 1 << (rings.bit_length() - 1))
+    r_end = min(r + rings - 1, r_hi)
+    width_bound = 64
+    while width_bound < 2 * r_end + 1:
+        width_bound *= 2
+    return rings, width_bound
+
+
 def match_distance(
     leaf: LeafMaps,
     add_rgb,
@@ -151,88 +258,37 @@ def match_distance(
 ):
     """Raw per-pixel matched distance map (quirk Q2: wrapped to u8), the dense
     equivalent of HOT LOOPs 1-2 (reference src/depth_image.rs:111-123,
-    src/helpers.rs:9-54)."""
+    src/helpers.rs:9-54).
+
+    Host-driven: phase A (dense window) is one dispatch; phase B sweeps the
+    remaining rings in work-budgeted blocks with an early-exit readback
+    between blocks — see :func:`_phase_b_block` for why."""
     h, w = int(leaf.seed_x.shape[0]), int(leaf.seed_x.shape[1])
-    n = h * w
     add = jnp.asarray(add_rgb).astype(jnp.int32)
     ah, aw = int(add.shape[0]), int(add.shape[1])
     add_flat = add.reshape(-1, 3)
     prec = jnp.asarray(precision, dtype=jnp.int32).reshape(3)
 
-    cx = leaf.seed_x.reshape(-1)
-    cy = leaf.seed_y.reshape(-1)
-    val = leaf.value.reshape(-1, 3)
-
     r_hi = max_radius - 1  # rings are 0..max_radius-1 (src/helpers.rs:26)
     ra = min(phase_a_radius, r_hi)
 
-    def probe(py, px, rank_key, best):
-        """Evaluate one offset position for every pixel; keep the min key."""
-        best_key, best_dy, best_dx = best
-        inb = (py >= 0) & (py < ah) & (px >= 0) & (px < aw)
-        idx = jnp.clip(py, 0, ah - 1) * aw + jnp.clip(px, 0, aw - 1)
-        cand = add_flat[idx]
-        ok = inb & (jnp.abs(cand - val) < prec).all(axis=-1)
-        upd = ok & (rank_key < best_key)
-        return (
-            jnp.where(upd, rank_key, best_key),
-            jnp.where(upd, py - cy, best_dy),
-            jnp.where(upd, px - cx, best_dx),
-        )
-
-    # ---- phase A: dense window up to ra -------------------------------------
-    dys, dxs, keys = _phase_a_offsets(ra, max_radius)
-    dys_j, dxs_j, keys_j = jnp.asarray(dys), jnp.asarray(dxs), jnp.asarray(keys)
-
-    def body_a(k, best):
-        return probe(cy + dys_j[k], cx + dxs_j[k], keys_j[k], best)
-
-    init = (jnp.full((n,), _BIG), jnp.zeros((n,), jnp.int32), jnp.zeros((n,), jnp.int32))
-    best_key, best_dy, best_dx = jax.lax.fori_loop(0, len(dys), body_a, init)
-    matched = best_key < _BIG
-
-    # per-pixel last ring with any in-bounds point (docs/SEMANTICS.md §3)
-    r_out = jnp.maximum(
-        jnp.maximum(cy, ah - 1 - cy), jnp.maximum(cx, aw - 1 - cx)
+    matched, best_dy, best_dx, r_out = _phase_a(
+        leaf, add_flat, prec, max_radius, phase_a_radius, ah, aw
     )
-
-    # ---- phase B: ring-by-ring while_loop from ra+1 --------------------------
-    def cond_b(state):
-        r, matched, _, _ = state
-        active = (~matched) & (r <= r_out)
-        return (r <= r_hi) & jnp.any(active)
-
-    def body_b(state):
-        r, matched, bdy, bdx = state
-        width = 2 * r + 1
-
-        def body_t(t, best):
-            tv = t - r  # sweep coordinate in [-r, r]; mask t > 2r
-            ok_t = t < width
-            key0 = jnp.where(ok_t, 0 * width + t, _BIG)
-            key1 = jnp.where(ok_t, 1 * width + t, _BIG)
-            key2 = jnp.where(ok_t, 2 * width + t, _BIG)
-            key3 = jnp.where(ok_t, 3 * width + t, _BIG)
-            best = probe(cy + r, cx + tv, key0, best)  # row y+r
-            best = probe(cy - r, cx + tv, key1, best)  # row y-r
-            best = probe(cy + tv, cx + r, key2, best)  # col x+r
-            best = probe(cy + tv, cx - r, key3, best)  # col x-r
-            return best
-
-        ring_init = (
-            jnp.full((n,), _BIG),
-            jnp.zeros((n,), jnp.int32),
-            jnp.zeros((n,), jnp.int32),
+    state = (matched, best_dy, best_dx)
+    r = ra + 1
+    n = h * w
+    while r <= r_hi:
+        # the original while_loop's condition, evaluated between blocks
+        if not bool(jnp.any((~state[0]) & (r <= r_out))):
+            break
+        rings, width_bound = _phase_b_plan(r, r_hi, n)
+        state = _phase_b_block(
+            jnp.int32(r), state, leaf, add_flat, prec,
+            rings, width_bound, r_hi, ah, aw,
         )
-        rk, rdy, rdx = jax.lax.fori_loop(0, 2 * r_hi + 1, body_t, ring_init)
-        newly = (~matched) & (rk < _BIG)
-        bdy = jnp.where(newly, rdy, bdy)
-        bdx = jnp.where(newly, rdx, bdx)
-        return r + 1, matched | newly, bdy, bdx
-
-    _, matched, best_dy, best_dx = jax.lax.while_loop(
-        cond_b, body_b, (jnp.int32(ra + 1), matched, best_dy, best_dx)
-    )
+        r += rings
+    matched, best_dy, best_dx = state
 
     d2 = best_dy * best_dy + best_dx * best_dx
     dist = _isqrt(d2)
@@ -240,10 +296,18 @@ def match_distance(
     return (dist & 0xFF).astype(jnp.uint8).reshape(h, w)  # quirk Q2
 
 
-@partial(
-    jax.jit,
-    static_argnames=("min_splits", "max_splits", "max_radius", "phase_a_radius"),
-)
+@partial(jax.jit, static_argnames=("h", "w"))
+def _normalize_and_resample(raw, h, w):
+    from stepth_tpu.ops.resize import resample_exact
+
+    m = jnp.max(raw).astype(jnp.int32)
+    norm = jnp.where(
+        m > 0, (raw.astype(jnp.int32) * 255) // jnp.maximum(m, 1), 0
+    ).astype(jnp.uint8)
+    # collect(): norm is already painted at full res; gray -> luma is identity
+    return resample_exact(norm, h, w, "gaussian")
+
+
 def depth_from_additional(
     main_rgb,
     add_rgb,
@@ -256,9 +320,11 @@ def depth_from_additional(
     """Full parity pipeline: subdivision -> match -> max-normalize (quirk Q3
     guarded) -> same-size Gaussian resample (reference src/depth_image.rs:91-136).
     Returns depth u8[H, W]; bit-identical to
-    oracle.pipeline.depth_from_additional_oracle."""
-    from stepth_tpu.ops.resize import resample_exact
+    oracle.pipeline.depth_from_additional_oracle.
 
+    Host-driven (not one jit): the ring search dispatches in bounded blocks
+    so a full-res image cannot exceed the remote-TPU watchdog — see
+    :func:`match_distance`."""
     main_rgb = jnp.asarray(main_rgb)
     h, w = int(main_rgb.shape[0]), int(main_rgb.shape[1])
     prec = jnp.asarray(precision, dtype=jnp.int32).reshape(3)
@@ -266,9 +332,4 @@ def depth_from_additional(
     raw = match_distance(
         leaf, add_rgb, prec, max_radius=max_radius, phase_a_radius=phase_a_radius
     )
-    m = jnp.max(raw).astype(jnp.int32)
-    norm = jnp.where(
-        m > 0, (raw.astype(jnp.int32) * 255) // jnp.maximum(m, 1), 0
-    ).astype(jnp.uint8)
-    # collect(): norm is already painted at full res; gray -> luma is identity
-    return resample_exact(norm, h, w, "gaussian")
+    return _normalize_and_resample(raw, h, w)

@@ -5,7 +5,6 @@ src/mask_image.rs:205-213). Slow and exact; the parity anchor for every JAX path
 
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 import numpy as np
