@@ -65,6 +65,15 @@ def test_two_process_global_mesh_match():
     assert "match drill OK" in outs[1]
 
 
+def test_two_process_distributed_ba():
+    # Distributed Schur-complement BA with observations sharded across the two
+    # processes; every psum in the LM/CG loop is a real cross-process
+    # collective. Both workers assert parity with a single-device solve.
+    outs = _run_drill("ba", {0: {0}, 1: {0}}, timeout_s=420)
+    assert "ba drill OK" in outs[0]
+    assert "ba drill OK" in outs[1]
+
+
 def test_two_process_heartbeat_failure_detection():
     # worker 1 hard-exits(42) mid-run; worker 0 must detect the dead peer
     # (heartbeat_timeout_s=10) instead of hanging. Detection surfaces through

@@ -17,6 +17,11 @@ Modes:
   failure  — process 1 dies abruptly after bring-up; process 0 must *detect*
              the failure (coordination-service heartbeat) instead of hanging
              in the next barrier, then exits 0 to signal a successful drill.
+  ba       — distributed Schur-complement bundle adjustment across the two
+             processes: observations shard over the 8-device data axis (psum
+             reductions cross the process boundary every LM/CG step), states
+             replicate; every process asserts the result matches a
+             single-device LM run of the same problem.
 """
 
 import os
@@ -54,6 +59,8 @@ def main() -> None:
         _drill_match(pid)
     elif mode == "failure":
         _drill_failure(pid)
+    elif mode == "ba":
+        _drill_ba(pid)
     else:
         raise SystemExit(f"unknown mode {mode}")
 
@@ -110,6 +117,98 @@ def _drill_match(pid: int) -> None:
             np.asarray(shard.data), want[shard.index], err_msg=f"pid{pid}"
         )
     print(f"[worker {pid}] match drill OK", flush=True)
+
+
+def _drill_ba(pid: int) -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from stepth_tpu.fusion import ba
+    from stepth_tpu.fusion import geometry as geo
+    from stepth_tpu.parallel import distributed
+
+    mesh = distributed.global_mesh(data=8, tile=1)
+    assert mesh.devices.size == 8, mesh
+
+    # Deterministic problem, built identically on every process: 4 cameras on
+    # an arc observing 64 points -> N=256 observations (divisible by data=8).
+    rng = np.random.default_rng(11)
+    n_cams, n_pts = 4, 64
+    intr = np.array([400.0, 400.0, 320.0, 240.0], np.float32)
+    pts_gt = rng.uniform(-1.0, 1.0, (n_pts, 3)).astype(np.float32)
+    pts_gt[:, 2] += 6.0
+    poses_gt = np.stack(
+        [
+            np.concatenate(
+                [
+                    np.array([0.0, 0.08 * (c - n_cams / 2), 0.0], np.float32),
+                    np.array([0.4 * c, 0.0, 0.0], np.float32),
+                ]
+            )
+            for c in range(n_cams)
+        ]
+    ).astype(np.float32)
+    cam_idx = np.repeat(np.arange(n_cams), n_pts).astype(np.int32)
+    pt_idx = np.tile(np.arange(n_pts), n_cams).astype(np.int32)
+    uv = np.asarray(
+        geo.project(
+            geo.transform(jnp.asarray(poses_gt)[cam_idx], jnp.asarray(pts_gt)[pt_idx]),
+            jnp.asarray(intr),
+        )
+    )
+    poses0 = poses_gt + rng.normal(0, 0.03, poses_gt.shape).astype(np.float32)
+    poses0[0] = poses_gt[0]  # gauge anchor stays exact
+    pts0 = (pts_gt + rng.normal(0, 0.12, pts_gt.shape)).astype(np.float32)
+    weight = np.ones(len(cam_idx), np.float32)
+
+    local = ba.BAProblem(
+        poses=jnp.asarray(poses0),
+        points=jnp.asarray(pts0),
+        intrinsics=jnp.asarray(intr),
+        cam_idx=jnp.asarray(cam_idx),
+        pt_idx=jnp.asarray(pt_idx),
+        uv=jnp.asarray(uv),
+        weight=jnp.asarray(weight),
+    )
+    # Single-device reference, computed redundantly on every process.
+    ref = ba.solve(local, iters=4, cg_iters=8)
+
+    def garr(x, spec):
+        x = np.asarray(x)
+        sh = NamedSharding(mesh, spec)
+        return jax.make_array_from_callback(x.shape, sh, lambda idx, x=x: x[idx])
+
+    gprob = ba.BAProblem(
+        poses=garr(poses0, P()),
+        points=garr(pts0, P()),
+        intrinsics=garr(intr, P()),
+        cam_idx=garr(cam_idx, P("data")),
+        pt_idx=garr(pt_idx, P("data")),
+        uv=garr(uv, P("data", None)),
+        weight=garr(weight, P("data")),
+    )
+    state = ba.solve_sharded(gprob, mesh, iters=4, cg_iters=8)
+
+    # States replicate (P()), so every process holds full copies. Tolerances
+    # mirror tests/test_fusion_ba.py::test_sharded_matches_single_device —
+    # psum reduction order differs from the single-device segment-sum and LM
+    # amplifies last-bit drift.
+    got_poses = np.asarray(jax.device_get(state.poses))
+    got_points = np.asarray(jax.device_get(state.points))
+    np.testing.assert_allclose(
+        got_poses, np.asarray(ref.poses), atol=5e-3, err_msg=f"pid{pid}"
+    )
+    np.testing.assert_allclose(
+        got_points, np.asarray(ref.points), atol=5e-3, err_msg=f"pid{pid}"
+    )
+    c_ref = float(ref.cost)
+    c_got = float(jax.device_get(state.cost))
+    c0 = float(ba._cost(local, local.poses, local.points))
+    assert c_got < c0 * 1e-2, (c_got, c0)  # LM actually converged
+    np.testing.assert_allclose(c_got, c_ref, rtol=0.3, atol=1e-4)
+    print(f"[worker {pid}] ba drill OK (cost {c0:.3e} -> {c_got:.3e})", flush=True)
 
 
 def _drill_failure(pid: int) -> None:
