@@ -10,6 +10,8 @@ Backends:
   * ``"pallas"``             — fused TPU kernel (fastest exhaustive-search path)
   * ``"hierarchical"``       — coarse-to-fine pyramid, XLA (large search ranges)
   * ``"hierarchical-pallas"``— coarse-to-fine, all levels on Pallas kernels
+  * ``"sgm"``                — semi-global matching (scanline-regularized WTA;
+                               the accuracy backend for noisy/low-texture pairs)
   * ``"parity"``             — the bit-exact reference-semantics path
 """
 
@@ -23,6 +25,7 @@ import numpy as np
 
 from stepth_tpu.config import DEFAULT_PRECISION, MatchConfig, PyramidConfig
 from stepth_tpu.match import dense
+from stepth_tpu.match.sgm import SGMConfig
 
 
 @dataclasses.dataclass(frozen=True)
@@ -32,6 +35,7 @@ class StereoModel:
     backend: str = "dense"
     match: MatchConfig = MatchConfig()
     pyramid: PyramidConfig = PyramidConfig()
+    sgm: SGMConfig = SGMConfig()  # sgm backend only
     precision: Tuple[int, int, int] = DEFAULT_PRECISION  # parity backend only
 
     def __call__(self, left, right) -> dense.MatchResult:
@@ -51,6 +55,10 @@ class StereoModel:
             return pallas_refine.match_hierarchical_pallas(
                 left, right, self.match, self.pyramid
             )
+        if self.backend == "sgm":
+            from stepth_tpu.match import sgm as sgm_mod
+
+            return sgm_mod.match_pair_sgm(left, right, self.match, self.sgm)
         if self.backend == "parity":
             from stepth_tpu.match import parity
             import jax.numpy as jnp
