@@ -321,6 +321,43 @@ def bench_extra():
         file=sys.stderr,
     )
 
+    # --- accuracy backend: all-Pallas SGM, 1080p / D=64 / 4 directions -------
+    from stepth_tpu.match import pallas_sgm, sgm as sgm_mod
+
+    l1, r1 = make_pair(H, W, shift=24, seed=2)
+    l1j, r1j = jnp.asarray(l1), jnp.asarray(r1)
+    sgm_cfg = MatchConfig(num_disparities=64, window=5, cost="sad", lr_threshold=1.0)
+    sgm_sc = sgm_mod.SGMConfig(directions=4)
+
+    def sgm_loop(n):
+        def body(_, carry):
+            l, acc = carry
+            d = pallas_sgm.match_pair_sgm_pallas(l, r1j, sgm_cfg, sgm_sc).disparity
+            return l + d[:1, :1] * 1e-30, acc + d[:1, :1]
+
+        return jax.jit(
+            lambda l0: jax.lax.fori_loop(
+                0, n, body, (l0, jnp.zeros((1, 1), jnp.float32))
+            )[1]
+        )
+
+    t0 = time.perf_counter()
+    s2, s8 = sgm_loop(2), sgm_loop(8)
+    for f in (s2, s8):
+        _ = float(jnp.sum(f(l1j)))
+    print(f"[bench-extra] sgm compile+first: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    t0 = time.perf_counter()
+    _ = float(jnp.sum(s2(l1j)))
+    t1 = time.perf_counter()
+    _ = float(jnp.sum(s8(l1j)))
+    t2 = time.perf_counter()
+    per = ((t2 - t1) - (t1 - t0)) / 6
+    print(
+        f"[bench-extra] sgm-pallas 1080p D=64 4-dir: {per*1e3:.2f} ms/frame ->"
+        f" {1/per:.1f} fps (device throughput)",
+        file=sys.stderr,
+    )
+
     # --- config 1 workload on the native C++ host engine ---------------------
     try:
         from stepth_tpu import native

@@ -45,6 +45,43 @@ from stepth_tpu.match import dense
 _BIG = 1e30  # python float: jnp scalars would be captured consts in the kernel
 
 
+def box_sum_slab(cost, zero_mask, *, win, S, W, RV, TH):
+    """Box-window sum over a [S, W] VMEM cost slab: vertical box on the full
+    slab, extract the TH output rows, horizontal box on [TH, W] only (the
+    horizontal pass needs no vertical context, so running it after extraction
+    saves the 2·RV halo rows' worth of lane rolls). The cost is zeroed ONCE at
+    the source (``zero_mask`` marks in-image rows/cols — the zero-pad clipping
+    of :func:`dense.box_aggregate`), so the rolls below need no per-offset
+    masks; the caller's padding guarantees every roll is wrap-free for the
+    extracted rows. Window 9 uses an exact two-stage 3×3 decomposition
+    (4 rolls per axis instead of 8)."""
+    cost = cost * zero_mask
+    rbox = win // 2
+    if win == 9:
+        y = cost
+        for sh in (1, S - 1):
+            y = y + pltpu.roll(cost, sh, axis=0)
+        z = y
+        for sh in (3, S - 3):
+            z = z + pltpu.roll(y, sh, axis=0)
+        v = z[RV : RV + TH]
+        y = v
+        for sh in (1, W - 1):
+            y = y + pltpu.roll(v, sh, axis=1)
+        z = y
+        for sh in (3, W - 3):
+            z = z + pltpu.roll(y, sh, axis=1)
+        return z
+    aggv = jnp.zeros_like(cost)
+    for j in range(-rbox, rbox + 1):
+        aggv = aggv + pltpu.roll(cost, (-j) % S, axis=0)
+    aggv = aggv[RV : RV + TH]
+    agg = jnp.zeros_like(aggv)
+    for mshift in range(-rbox, rbox + 1):
+        agg = agg + pltpu.roll(aggv, (-mshift) % W, axis=1)
+    return agg
+
+
 def _kernel(
     g_row0_ref,
     l_hbm,
@@ -112,8 +149,6 @@ def _kernel(
 
         rows = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)  # slab row ids
         cols = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
-        rbox = win // 2
-
         # Cost is zeroed ONCE at the source (out-of-image rows/cols contribute
         # nothing — the zero-pad clipping of dense.box_aggregate), so the box
         # sums below need no per-offset masks. The caller's padding guarantees
@@ -127,34 +162,9 @@ def _kernel(
         zero_mask = vz.astype(jnp.float32) * (cols < Wr).astype(jnp.float32)
 
         def box_sum(cost):
-            """Vertical box on the [S, W] slab, extract the TH output rows,
-            horizontal box on [TH, W] only (the horizontal pass needs no
-            vertical context, so running it after extraction saves the 2·RV
-            halo rows' worth of lane rolls)."""
-            cost = cost * zero_mask
-            if win == 9:  # two-stage 3×3 decomposition: 4 rolls per axis
-                y = cost
-                for sh in (1, S - 1):
-                    y = y + pltpu.roll(cost, sh, axis=0)
-                z = y
-                for sh in (3, S - 3):
-                    z = z + pltpu.roll(y, sh, axis=0)
-                v = z[RV : RV + TH]
-                y = v
-                for sh in (1, W - 1):
-                    y = y + pltpu.roll(v, sh, axis=1)
-                z = y
-                for sh in (3, W - 3):
-                    z = z + pltpu.roll(y, sh, axis=1)
-                return z
-            aggv = jnp.zeros_like(cost)
-            for j in range(-rbox, rbox + 1):
-                aggv = aggv + pltpu.roll(cost, (-j) % S, axis=0)
-            aggv = aggv[RV : RV + TH]
-            agg = jnp.zeros_like(aggv)
-            for mshift in range(-rbox, rbox + 1):
-                agg = agg + pltpu.roll(aggv, (-mshift) % W, axis=1)
-            return agg
+            return box_sum_slab(
+                cost, zero_mask, win=win, S=S, W=W, RV=RV, TH=TH
+            )
 
         def dloop(d, carry):
             (best, bestd, cm1, cb, cp1, prev, bestr, bestrd, runlag2, second,

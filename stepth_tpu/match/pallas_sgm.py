@@ -1,0 +1,574 @@
+"""Pallas TPU pipeline for semi-global matching.
+
+The XLA SGM backend (:mod:`stepth_tpu.match.sgm`) is correct but leaves a lot
+on the table: the cost-volume front and the WTA/LR epilogue pay the same
+materialization taxes the dense XLA path pays (the reason
+:mod:`stepth_tpu.match.pallas_dense` exists), and the directional scans fight
+XLA's layout assignment between producers and consumers. This module runs the
+whole SGM pipeline as four small Pallas kernels chained through HBM:
+
+1. **Volume kernel** — the cost front of :func:`pallas_dense._kernel`
+   (slab DMA, incremental disparity roll, zero-masked box sums) emitting the
+   box-aggregated cost volume as ``f32[D, H, W]`` (disparity outermost:
+   directional scans want [T, D-on-sublanes? no —] each scan step consumes a
+   ``[D, T]`` slab with the orthogonal axis T on lanes and D on sublanes, so
+   planes of constant ``d`` stay contiguous for clean DMA).
+2. **Scan kernel** (×2/4/8 directions) — the SGM recurrence along rows or
+   columns. Sequential grid along the scan axis; the ``[D, T]`` carry lives in
+   VMEM scratch across grid steps; each grid step unrolls ``BS`` recurrence
+   steps on a pipelined ``[D, BS, T]`` block. Disparity-neighbor shifts are
+   sublane rolls, the min over D a sublane reduction — a handful of wide VPU
+   ops per pixel-step. Direction sums accumulate through an aliased
+   accumulator input (``out = acc + L_r``), in the same order as the XLA
+   backend so results match bit-for-bit. Column scans run on the
+   ``[D, W, H]``-transposed volume (one XLA transpose each way); diagonal
+   scans shift the carry one lane per step (zero-filled, so border pixels
+   start fresh exactly like the XLA pad).
+3. **WTA kernel** — :func:`pallas_dense._kernel`'s disparity loop with the
+   cost computation replaced by volume reads: running WTA with subpixel
+   neighbors, second-best tracking for uniqueness, right-view WTA via lane
+   rolls, and the gather-free LR sweep. Grid is (row tiles × disparity
+   blocks); the per-pixel running state lives in VMEM scratch, outputs are
+   written at the last disparity block.
+
+Out-of-image handling: the padded volume carries zero cost outside the real
+extent, and the scan kernels force ``L = 0`` there — so the first real pixel a
+(possibly reversed) scan touches sees an all-zero predecessor, which is
+exactly the XLA backend's fresh-start border (``min(0, P1, P2) − 0 = 0`` ⇒
+``L = C``).
+
+The epilogue (occlusion fill, median) reuses :mod:`stepth_tpu.match.pallas_post`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from stepth_tpu.config import MatchConfig
+from stepth_tpu.match import dense
+from stepth_tpu.match.pallas_dense import _BIG, _round_up, box_sum_slab
+from stepth_tpu.match.sgm import SGMConfig
+
+
+def _default_interpret(interpret: Optional[bool]) -> bool:
+    if interpret is None:
+        return jax.default_backend() != "tpu"
+    return interpret
+
+
+# ---------------------------------------------------------------------------
+# Kernel A: box-aggregated cost volume, f32[D, H, W]
+# ---------------------------------------------------------------------------
+
+
+def _volume_kernel(
+    l_hbm,
+    r_hbm,
+    out_ref,
+    l_slab,
+    r_slab,
+    rot,
+    sem_l,
+    sem_r,
+    *,
+    W,
+    Hr,
+    Wr,
+    DB,
+    TH,
+    RV,
+    win,
+    nplanes,
+    squared,
+):
+    i = pl.program_id(0)  # row tile
+    j = pl.program_id(1)  # disparity block
+    S = TH + 2 * RV
+    start = pl.multiple_of(i * TH, 8)
+
+    @pl.when(j == 0)
+    def _load():
+        if nplanes:
+            src_l = l_hbm.at[:, pl.ds(start, S)]
+            src_r = r_hbm.at[:, pl.ds(start, S)]
+        else:
+            src_l = l_hbm.at[pl.ds(start, S)]
+            src_r = r_hbm.at[pl.ds(start, S)]
+        cp_l = pltpu.make_async_copy(src_l, l_slab, sem_l)
+        cp_r = pltpu.make_async_copy(src_r, r_slab, sem_r)
+        cp_l.start()
+        cp_r.start()
+        cp_l.wait()
+        cp_r.wait()
+        rot[:] = r_slab[:]
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    lrow = start + rows - RV
+    vz = (lrow >= 0) & (lrow < Hr)
+    zero_mask = vz.astype(jnp.float32) * (cols < Wr).astype(jnp.float32)
+
+    for k in range(DB):
+        d = j * DB + k
+        if nplanes:
+            ham = jnp.zeros((S, W), jnp.int32)
+            for p in range(nplanes):
+                rsp = jnp.where(cols < d, r_slab[p][:, :1], rot[p])
+                ham = ham + jax.lax.population_count(l_slab[p] ^ rsp).astype(
+                    jnp.int32
+                )
+            cost = ham.astype(jnp.float32)
+            for p in range(nplanes):
+                rot[p] = pltpu.roll(rot[p], 1, axis=1)
+        else:
+            rs = jnp.where(cols < d, r_slab[:, :1], rot[:])
+            diff = l_slab[:] - rs
+            cost = diff * diff if squared else jnp.abs(diff)
+            rot[:] = pltpu.roll(rot[:], 1, axis=1)
+        out_ref[k] = box_sum_slab(
+            cost, zero_mask, win=win, S=S, W=W, RV=RV, TH=TH
+        )
+
+
+def _aggregated_volume(lg, rg, cfg: MatchConfig, tile_rows: int, interpret: bool):
+    """Padded box-aggregated volume ``f32[D, hp, wp]`` plus the padded dims.
+    Same padding contract as :func:`pallas_dense.raw_match`, except ``hp`` is
+    rounded to 128 so both volume axes can sit on TPU lanes in the scans."""
+    h, w = lg.shape
+    D = cfg.num_disparities
+    RV = _round_up(cfg.window // 2, 8)
+    TH = _round_up(tile_rows, 8)
+    wp = _round_up(w + cfg.window // 2, 128)
+    hp = _round_up(h, max(TH, 128))
+
+    lg_p = jnp.pad(lg, ((RV, RV + hp - h), (0, wp - w)), mode="edge")
+    rg_p = jnp.pad(rg, ((RV, RV + hp - h), (0, wp - w)), mode="edge")
+
+    nplanes = 0
+    if cfg.cost == "census":
+        lg_p = jnp.moveaxis(dense.census_transform(lg_p, cfg.census_window), -1, 0)
+        rg_p = jnp.moveaxis(dense.census_transform(rg_p, cfg.census_window), -1, 0)
+        nplanes = int(lg_p.shape[0])
+
+    DB = D
+    for cand in (16, 8, 4, 2, 1):
+        if D % cand == 0 and cand <= D:
+            DB = cand
+            break
+    S = TH + 2 * RV
+    slab_ty = (
+        pltpu.VMEM((nplanes, S, wp), jnp.uint32)
+        if nplanes
+        else pltpu.VMEM((S, wp), jnp.float32)
+    )
+    kern = functools.partial(
+        _volume_kernel,
+        W=wp,
+        Hr=h,
+        Wr=w,
+        DB=DB,
+        TH=TH,
+        RV=RV,
+        win=cfg.window,
+        nplanes=nplanes,
+        squared=cfg.cost == "ssd",
+    )
+    vol = pl.pallas_call(
+        kern,
+        grid=(hp // TH, D // DB),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((DB, TH, wp), lambda i, j: (j, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((D, hp, wp), jnp.float32),
+        scratch_shapes=[
+            slab_ty,
+            slab_ty,
+            slab_ty,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(lg_p, rg_p)
+    return vol, (h, w, hp, wp)
+
+
+# ---------------------------------------------------------------------------
+# Kernel B: one SGM direction along axis 1 of f32[D, S, T], accumulating
+# ---------------------------------------------------------------------------
+
+
+def _scan_kernel(*refs, BS, D, TT, S_real, T_real, p1, p2, reverse, shift, first):
+    if first:
+        v_ref, out_ref, carry = refs
+        acc_ref = None
+    else:
+        v_ref, acc_ref, out_ref, carry = refs
+    t = pl.program_id(0)
+    j = pl.program_id(1)
+    ns = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        carry[:] = jnp.zeros((D, TT), jnp.float32)
+
+    tcol = jax.lax.broadcasted_iota(jnp.int32, (1, TT), 1) + t * TT
+    tmask = (tcol < T_real).astype(jnp.float32)
+    drow = jax.lax.broadcasted_iota(jnp.int32, (D, 1), 0)
+
+    blk = (ns - 1 - j) if reverse else j
+    for k in range(BS):
+        idx = BS - 1 - k if reverse else k
+        s = blk * BS + idx  # global scan position of this step
+        prev = carry[:]
+        if shift > 0:
+            prev = pltpu.roll(prev, shift, axis=1)
+            prev = jnp.where(tcol - t * TT < shift, 0.0, prev)
+        elif shift < 0:
+            prev = pltpu.roll(prev, TT + shift, axis=1)
+            prev = jnp.where(tcol - t * TT >= TT + shift, 0.0, prev)
+        min_l = jnp.min(prev, axis=0, keepdims=True)  # [1, TT]
+        up = jnp.where(drow == 0, _BIG, pltpu.roll(prev, 1, axis=0))  # prev[d−1]
+        dn = jnp.where(
+            drow == D - 1, _BIG, pltpu.roll(prev, D - 1, axis=0)
+        )  # prev[d+1]
+        cand = jnp.minimum(prev, jnp.minimum(up + p1, dn + p1))
+        cand = jnp.minimum(cand, min_l + p2)
+        c = v_ref[:, idx, :]
+        L = (c + cand) - min_l
+        # zero outside the real extent: scans crossing the padding then enter
+        # the first real pixel with an all-zero predecessor = fresh start
+        L = L * tmask * (s < S_real).astype(jnp.float32)
+        if first:
+            out_ref[:, idx, :] = L
+        else:
+            out_ref[:, idx, :] = acc_ref[:, idx, :] + L
+        carry[:] = L
+
+
+def _scan_direction(
+    vol,
+    acc,
+    *,
+    S_real: int,
+    T_real: int,
+    p1: float,
+    p2: float,
+    reverse: bool,
+    shift: int = 0,
+    interpret: bool = False,
+):
+    """Run one direction over ``vol`` [D, S, T]; returns ``acc + L_dir``
+    (or ``L_dir`` when ``acc`` is None). ``shift`` ≠ 0 (diagonals) disables
+    T-tiling — the carry shift crosses tile boundaries."""
+    D, S, T = vol.shape
+    BS = 8
+    if shift == 0:
+        TT = 128
+        for cand in (512, 384, 256, 128):
+            if T % cand == 0:
+                TT = cand
+                break
+    else:
+        # the diagonal carry shift crosses tile boundaries, so T cannot tile;
+        # the caller picks the volume orientation with the smaller T
+        TT = T
+    first = acc is None
+    kern = functools.partial(
+        _scan_kernel,
+        BS=BS,
+        D=D,
+        TT=TT,
+        S_real=S_real,
+        T_real=T_real,
+        p1=float(p1),
+        p2=float(p2),
+        reverse=reverse,
+        shift=shift,
+        first=first,
+    )
+    if reverse:
+        imap = lambda t, j, ns=S // BS: (0, ns - 1 - j, t)  # noqa: E731
+    else:
+        imap = lambda t, j: (0, j, t)  # noqa: E731
+    spec = pl.BlockSpec((D, BS, TT), imap)
+    in_specs = [spec] if first else [spec, spec]
+    operands = (vol,) if first else (vol, acc)
+    return pl.pallas_call(
+        kern,
+        grid=(T // TT, S // BS),
+        in_specs=in_specs,
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((D, S, T), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((D, TT), jnp.float32)],
+        input_output_aliases={} if first else {1: 0},
+        interpret=interpret,
+    )(*operands)
+
+
+def aggregate_pallas(
+    vol,
+    sgm: SGMConfig,
+    p1: float,
+    p2: float,
+    *,
+    S_dims,
+    interpret: bool = False,
+):
+    """All-directions path-cost sum over the padded volume [D, hp, wp].
+    ``S_dims = (h, w)`` is the real extent. Matches
+    :func:`stepth_tpu.match.sgm.aggregate` bit-for-bit on the real region
+    (same recurrence arithmetic, same accumulation order)."""
+    h, w = S_dims
+    kw = dict(p1=p1, p2=p2, interpret=interpret)
+    # →x, ←x on the [D, W, H] transpose (scan axis must be axis 1)
+    volT = jnp.swapaxes(vol, 1, 2)
+    acc = _scan_direction(volT, None, S_real=w, T_real=h, reverse=False, **kw)
+    acc = _scan_direction(volT, acc, S_real=w, T_real=h, reverse=True, **kw)
+    out = jnp.swapaxes(acc, 1, 2)
+    if sgm.directions >= 4:
+        out = _scan_direction(vol, out, S_real=h, T_real=w, reverse=False, **kw)
+        out = _scan_direction(vol, out, S_real=h, T_real=w, reverse=True, **kw)
+    if sgm.directions == 8:
+        # Diagonals are transpose-symmetric (predecessor (y−1, x−1) either
+        # way), so run them on the orientation with the smaller lateral
+        # extent — the whole T axis must fit one VMEM block (no tiling).
+        # Both orders below add ↘ ↙ ↗ ↖ exactly like the XLA backend.
+        _, hp, wp = vol.shape
+        if wp <= hp:
+            for rev, sh in ((False, 1), (False, -1), (True, 1), (True, -1)):
+                out = _scan_direction(
+                    vol, out, S_real=h, T_real=w, reverse=rev, shift=sh, **kw
+                )
+        else:
+            outT = jnp.swapaxes(out, 1, 2)
+            for rev, sh in ((False, 1), (True, 1), (False, -1), (True, -1)):
+                outT = _scan_direction(
+                    volT, outT, S_real=w, T_real=h, reverse=rev, shift=sh, **kw
+                )
+            out = jnp.swapaxes(outT, 1, 2)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Kernel C: WTA + subpixel + right-view WTA + uniqueness + LR from the volume
+# ---------------------------------------------------------------------------
+
+
+def _wta_kernel(
+    v_ref,
+    disp_ref,
+    dispr_ref,
+    cbest_ref,
+    valid_ref,
+    best,
+    bestd,
+    cm1,
+    cb,
+    cp1,
+    prevb,
+    bestr,
+    bestrd,
+    second,
+    runlag2,
+    *,
+    DB,
+    D,
+    TH,
+    W,
+    Wr,
+    lr_threshold,
+    uniqueness,
+):
+    j = pl.program_id(1)
+    nd = pl.num_programs(1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+
+    @pl.when(j == 0)
+    def _init():
+        big = jnp.full((TH, W), _BIG, jnp.float32)
+        zero = jnp.zeros((TH, W), jnp.float32)
+        best[:] = big
+        bestd[:] = jnp.zeros((TH, W), jnp.int32)
+        cm1[:] = zero
+        cb[:] = big
+        cp1[:] = big
+        prevb[:] = zero
+        bestr[:] = big
+        bestrd[:] = jnp.zeros((TH, W), jnp.int32)
+        second[:] = big
+        runlag2[:] = big
+
+    for k in range(DB):
+        d = j * DB + k
+        aggc = v_ref[k]  # [TH, W]
+
+        upd = aggc < best[:]
+        is_next = jnp.logical_and(jnp.logical_not(upd), bestd[:] == d - 1)
+        cm1[:] = jnp.where(upd, prevb[:], cm1[:])
+        cb[:] = jnp.where(upd, aggc, cb[:])
+        cp1[:] = jnp.where(is_next, aggc, cp1[:])
+
+        if uniqueness is not None:
+            far = jnp.logical_and(jnp.logical_not(upd), d > bestd[:] + 1)
+            second[:] = jnp.where(upd, runlag2[:], second[:])
+            second[:] = jnp.where(far, jnp.minimum(second[:], aggc), second[:])
+            gate_big = (d < 1).astype(jnp.float32) * _BIG
+            runlag2[:] = jnp.minimum(runlag2[:], prevb[:] + gate_big)
+
+        best[:] = jnp.where(upd, aggc, best[:])
+        bestd[:] = jnp.where(upd, d, bestd[:])
+        prevb[:] = aggc
+
+        # right WTA: costR(x) = costL(x+d)
+        aggr = pltpu.roll(aggc, (W - d) % W, axis=1)
+        aggr = jnp.where(cols > Wr - 1 - d, _BIG, aggr)
+        updr = aggr < bestr[:]
+        bestr[:] = jnp.where(updr, aggr, bestr[:])
+        bestrd[:] = jnp.where(updr, d, bestrd[:])
+
+    @pl.when(j == nd - 1)
+    def _epilogue():
+        # parabolic subpixel (matches dense.wta)
+        bd = bestd[:]
+        denom = cm1[:] - 2.0 * cb[:] + cp1[:]
+        delta = jnp.where(
+            jnp.abs(denom) > 1e-6, (cm1[:] - cp1[:]) / (2.0 * denom), 0.0
+        )
+        delta = jnp.clip(delta, -0.5, 0.5)
+        interior = (bd >= 1) & (bd <= D - 2)
+        disp = jnp.where(
+            interior, bd.astype(jnp.float32) + delta, bd.astype(jnp.float32)
+        )
+        disp_ref[:] = disp
+        dispr = bestrd[:].astype(jnp.float32)
+        dispr_ref[:] = dispr
+        cbest_ref[:] = cb[:]
+
+        uok = (
+            jnp.ones((TH, W), jnp.float32)
+            if uniqueness is None
+            else (cb[:] * (1.0 + uniqueness) <= second[:]).astype(jnp.float32)
+        )
+        if lr_threshold is None:
+            valid_ref[:] = uok
+        else:
+            colf = cols.astype(jnp.float32)
+            wmax = jnp.float32(Wr - 1)
+            xr = jnp.clip(jnp.round(colf - disp), 0.0, wmax)
+            dredge = dispr[:, :1]
+
+            def lr_body(d, ok):
+                dr_s = pltpu.roll(dispr, d, axis=1)
+                dr_s = jnp.where(cols < d, dredge, dr_s)
+                sel = xr == jnp.clip(colf - d.astype(jnp.float32), 0.0, wmax)
+                hit = sel & (jnp.abs(disp - dr_s) <= lr_threshold)
+                return jnp.maximum(ok, hit.astype(jnp.float32))
+
+            ok = jax.lax.fori_loop(
+                0, D, lr_body, jnp.zeros((TH, W), jnp.float32)
+            )
+            valid_ref[:] = ok * uok
+
+
+def _wta_from_volume(
+    vol, *, Wr: int, cfg: MatchConfig, tile_rows: int = 16, interpret: bool = False
+):
+    """Run WTA/subpixel/uniqueness/LR over the padded volume [D, hp, wp]."""
+    D, hp, wp = vol.shape
+    TH = _round_up(tile_rows, 8)
+    DB = D
+    for cand in (16, 8, 4, 2, 1):
+        if D % cand == 0:
+            DB = cand
+            break
+    kern = functools.partial(
+        _wta_kernel,
+        DB=DB,
+        D=D,
+        TH=TH,
+        W=wp,
+        Wr=Wr,
+        lr_threshold=None if cfg.lr_threshold is None else float(cfg.lr_threshold),
+        uniqueness=None if cfg.uniqueness is None else float(cfg.uniqueness),
+    )
+    out_spec = pl.BlockSpec((TH, wp), lambda i, j: (i, 0))
+    scratch_f = pltpu.VMEM((TH, wp), jnp.float32)
+    scratch_i = pltpu.VMEM((TH, wp), jnp.int32)
+    return pl.pallas_call(
+        kern,
+        grid=(hp // TH, D // DB),
+        in_specs=[pl.BlockSpec((DB, TH, wp), lambda i, j: (j, i, 0))],
+        out_specs=[out_spec] * 4,
+        out_shape=[jax.ShapeDtypeStruct((hp, wp), jnp.float32)] * 4,
+        scratch_shapes=[
+            scratch_f,  # best
+            scratch_i,  # bestd
+            scratch_f,  # c[d-1]
+            scratch_f,  # c[best]
+            scratch_f,  # c[d+1]
+            scratch_f,  # prev agg
+            scratch_f,  # bestR
+            scratch_i,  # bestRd
+            scratch_f,  # second best (uniqueness)
+            scratch_f,  # running min over [0, d-2]
+        ],
+        interpret=interpret,
+    )(vol)
+
+
+# ---------------------------------------------------------------------------
+# Full pipeline
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "sgm", "tile_rows", "interpret")
+)
+def match_pair_sgm_pallas(
+    left,
+    right,
+    cfg: MatchConfig = MatchConfig(),
+    sgm: SGMConfig = SGMConfig(),
+    tile_rows: int = 16,
+    interpret: Optional[bool] = None,
+) -> dense.MatchResult:
+    """All-Pallas twin of :func:`stepth_tpu.match.sgm.match_pair_sgm` —
+    same output contract, same numerics (tested equal)."""
+    from stepth_tpu.match import pallas_post
+
+    interpret = _default_interpret(interpret)
+    if cfg.cost not in ("sad", "ssd", "census"):
+        raise NotImplementedError(f"pallas sgm: cost {cfg.cost!r} unsupported")
+    if sgm.directions not in (2, 4, 8):
+        raise ValueError(f"directions must be 2, 4 or 8, got {sgm.directions}")
+    lg = dense.grayscale(left)
+    rg = dense.grayscale(right)
+    h, w = lg.shape
+    vol, (h, w, hp, wp) = _aggregated_volume(lg, rg, cfg, tile_rows, interpret)
+    scale = float(cfg.window * cfg.window) if cfg.window > 1 else 1.0
+    agg = aggregate_pallas(
+        vol,
+        sgm,
+        sgm.p1 * scale,
+        sgm.p2 * scale,
+        S_dims=(h, w),
+        interpret=interpret,
+    )
+    disp, _, cbest, valid_f = _wta_from_volume(
+        agg, Wr=w, cfg=cfg, tile_rows=tile_rows, interpret=interpret
+    )
+    disp = disp[:h, :w]
+    cbest = cbest[:h, :w]
+    valid = valid_f[:h, :w] > 0.5
+    disp = pallas_post.fill_invalid_pallas(disp, valid, interpret=interpret)
+    disp = pallas_post.median3_pallas(disp, interpret=interpret)
+    return dense.MatchResult(disparity=disp, valid=valid, cost=cbest)

@@ -12,6 +12,8 @@ Backends:
   * ``"hierarchical-pallas"``— coarse-to-fine, all levels on Pallas kernels
   * ``"sgm"``                — semi-global matching (scanline-regularized WTA;
                                the accuracy backend for noisy/low-texture pairs)
+  * ``"sgm-pallas"``         — the same SGM pipeline on fused TPU kernels
+                               (~7× the XLA backend; identical outputs)
   * ``"parity"``             — the bit-exact reference-semantics path
 """
 
@@ -59,6 +61,12 @@ class StereoModel:
             from stepth_tpu.match import sgm as sgm_mod
 
             return sgm_mod.match_pair_sgm(left, right, self.match, self.sgm)
+        if self.backend == "sgm-pallas":
+            from stepth_tpu.match import pallas_sgm
+
+            return pallas_sgm.match_pair_sgm_pallas(
+                left, right, self.match, self.sgm
+            )
         if self.backend == "parity":
             from stepth_tpu.match import parity
             import jax.numpy as jnp

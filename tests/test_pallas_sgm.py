@@ -1,0 +1,103 @@
+"""Pallas SGM pipeline vs the XLA backend (interpret mode on CPU; the
+env-gated on-TPU twin lives in tests/test_tpu_kernels.py). The XLA backend is
+itself oracle-verified (tests/test_match_sgm.py), so equality here closes the
+chain oracle == XLA == Pallas."""
+
+import numpy as np
+import pytest
+
+from stepth_tpu.config import MatchConfig
+from stepth_tpu.match import pallas_sgm, sgm
+
+
+def _pair(rng, h=40, w=72, shift=5):
+    left = rng.uniform(0, 255, (h, w)).astype(np.float32)
+    right = np.roll(left, -shift, axis=1).astype(np.float32)
+    return left, right
+
+
+def _assert_equal(ref, got):
+    # disparity: identical winners up to exact-cost WTA ties — box aggregation
+    # differs in f32 summation order between the integral-image (XLA) and
+    # roll-add (kernel) formulations, so a pixel whose two best disparities
+    # tie exactly can flip winner (observed ≤1 px per image; the two values
+    # then differ by ≤1 disparity). Same tolerance story as the dense kernel.
+    d_ref = np.asarray(ref.disparity)
+    d_got = np.asarray(got.disparity)
+    diff = np.abs(d_ref - d_got)
+    flipped = diff > 1e-4
+    assert flipped.mean() < 0.005, f"{flipped.sum()} mismatching pixels"
+    assert diff.max() <= 1.0 + 1e-4, diff.max()
+    np.testing.assert_array_equal(np.asarray(ref.valid), np.asarray(got.valid))
+    np.testing.assert_allclose(
+        np.asarray(ref.cost), np.asarray(got.cost), rtol=1e-5, atol=1e-2
+    )
+
+
+@pytest.mark.parametrize("directions", [2, 4, 8])
+def test_matches_xla_directions(directions):
+    rng = np.random.default_rng(directions)
+    left, right = _pair(rng)
+    cfg = MatchConfig(num_disparities=16, window=5, cost="sad", lr_threshold=1.0)
+    sc = sgm.SGMConfig(directions=directions)
+    ref = sgm.match_pair_sgm(left, right, cfg, sc)
+    got = pallas_sgm.match_pair_sgm_pallas(left, right, cfg, sc, interpret=True)
+    _assert_equal(ref, got)
+
+
+@pytest.mark.parametrize("cost", ["sad", "ssd", "census"])
+def test_matches_xla_costs(cost):
+    rng = np.random.default_rng(7)
+    left, right = _pair(rng)
+    cfg = MatchConfig(
+        num_disparities=16, window=5, cost=cost, census_window=5, lr_threshold=1.0
+    )
+    sc = sgm.SGMConfig(p1=2.0, p2=8.0) if cost == "census" else sgm.SGMConfig()
+    ref = sgm.match_pair_sgm(left, right, cfg, sc)
+    got = pallas_sgm.match_pair_sgm_pallas(left, right, cfg, sc, interpret=True)
+    _assert_equal(ref, got)
+
+
+def test_matches_xla_uniqueness_and_window9():
+    rng = np.random.default_rng(11)
+    left, right = _pair(rng, h=48, w=96, shift=7)
+    cfg = MatchConfig(
+        num_disparities=32, window=9, cost="sad", lr_threshold=1.0, uniqueness=0.05
+    )
+    ref = sgm.match_pair_sgm(left, right, cfg)
+    got = pallas_sgm.match_pair_sgm_pallas(left, right, cfg, interpret=True)
+    _assert_equal(ref, got)
+
+
+def test_matches_xla_no_checks():
+    rng = np.random.default_rng(13)
+    left, right = _pair(rng)
+    cfg = MatchConfig(
+        num_disparities=16, window=3, cost="sad", lr_threshold=None, subpixel=True
+    )
+    ref = sgm.match_pair_sgm(left, right, cfg)
+    got = pallas_sgm.match_pair_sgm_pallas(left, right, cfg, interpret=True)
+    _assert_equal(ref, got)
+
+
+def test_odd_shape_padding():
+    # shapes far from tile multiples: padding/masking must not leak
+    rng = np.random.default_rng(17)
+    left, right = _pair(rng, h=37, w=61, shift=3)
+    cfg = MatchConfig(num_disparities=16, window=5, cost="sad", lr_threshold=1.0)
+    ref = sgm.match_pair_sgm(left, right, cfg)
+    got = pallas_sgm.match_pair_sgm_pallas(left, right, cfg, interpret=True)
+    _assert_equal(ref, got)
+
+
+def test_recovers_known_shift():
+    rng = np.random.default_rng(19)
+    h, w, shift = 64, 128, 6
+    tex = rng.uniform(0, 255, (h, w + shift)).astype(np.float32)
+    k = np.ones(5, np.float32) / 5
+    tex = np.apply_along_axis(lambda m: np.convolve(m, k, "same"), 1, tex)
+    left, right = tex[:, :w], tex[:, shift : w + shift]
+    cfg = MatchConfig(num_disparities=16, window=5, cost="sad")
+    res = pallas_sgm.match_pair_sgm_pallas(left, right, cfg, interpret=True)
+    med = float(np.median(np.asarray(res.disparity)[8:-8, 8:-8]))
+    assert abs(med - shift) < 0.5, med

@@ -100,6 +100,18 @@ def main() -> int:
         ),
     )
 
+    from stepth_tpu.match import pallas_sgm, sgm
+
+    scfg = MatchConfig(num_disparities=16, window=5, cost="sad", lr_threshold=1.0)
+    for dirs in (4, 8):
+        check(
+            f"sgm pipeline ({dirs} directions)",
+            lambda interp, dirs=dirs: pallas_sgm.match_pair_sgm_pallas(
+                left, right, scfg, sgm.SGMConfig(directions=dirs),
+                interpret=interp,
+            ),
+        )
+
     if failures:
         print(f"FAILED: {failures}", file=sys.stderr)
         return 1
