@@ -60,36 +60,57 @@ class SGMConfig:
     directions: int = 4
 
 
+def dir_step(carry, c, shift: int, p1, p2) -> jax.Array:
+    """One SGM recurrence step: path costs ``L`` for the current scanline
+    position given the predecessor's ``carry`` [T, D] and the current
+    aggregated cost slab ``c`` [T, D]. ``shift`` laterally displaces the carry
+    along T (±1 for diagonals, 0 for axis-aligned), zero-filling at the border
+    so shifted-in pixels start fresh (an all-zero carry ⇒
+    ``min(0, P1, P2) − 0 = 0`` ⇒ ``L = C``, the standard border init)."""
+    if shift > 0:
+        carry = jnp.pad(carry, ((shift, 0), (0, 0)))[:-shift]
+    elif shift < 0:
+        carry = jnp.pad(carry, ((0, -shift), (0, 0)))[-shift:]
+    min_l = jnp.min(carry, axis=-1, keepdims=True)  # [T, 1]
+    padded = jnp.pad(carry, ((0, 0), (1, 1)), constant_values=jnp.inf)
+    cand = jnp.minimum(
+        carry, jnp.minimum(padded[:, :-2] + p1, padded[:, 2:] + p1)
+    )
+    cand = jnp.minimum(cand, min_l + p2)
+    return c + cand - min_l
+
+
+def scan_dir_from(vol, carry0, *, reverse: bool, shift: int, p1, p2):
+    """Scan one direction over ``vol`` [S, T, D] from an explicit initial
+    carry; returns ``(final_carry, L)``. Exposed (rather than folded into
+    :func:`_aggregate_dir`) so the sharded relay
+    (:mod:`stepth_tpu.parallel.sgm_sharded`) runs the *identical* arithmetic
+    per step — bit-exact seams depend on it."""
+
+    def step(carry, c):
+        out = dir_step(carry, c, shift, p1, p2)
+        return out, out
+
+    # under shard_map a fresh-zeros carry is unvarying while vol is varying;
+    # match the carry's varying-manual-axes to the scanned operand's
+    missing = getattr(jax.typeof(vol), "vma", frozenset()) - getattr(
+        jax.typeof(carry0), "vma", frozenset()
+    )
+    if missing:
+        carry0 = jax.lax.pcast(carry0, tuple(missing), to="varying")
+    return jax.lax.scan(step, carry0, vol, reverse=reverse)
+
+
 def _aggregate_dir(vol: jax.Array, reverse: bool, shift: int, p1, p2) -> jax.Array:
     """One SGM direction over ``vol`` [S, T, D], scanning axis 0.
-
-    ``shift`` laterally displaces the carry along T each step (±1 for
-    diagonals, 0 for axis-aligned), zero-filling at the border so shifted-in
-    pixels start fresh (an all-zero carry ⇒ ``min(0, P1, P2) − 0 = 0`` ⇒
-    ``L = C``, the standard border init).
 
     Measured note: one scan per direction with a [T, D] carry is the FAST
     layout — batching directions into a [B, T, D] carry (to halve step count)
     measured 8× *slower* on a v5e: the extra leading dim breaks the slab's
     native (sublane, lane) tiling and every step pays relayout copies.
     """
-
-    def step(carry, c):
-        if shift > 0:
-            carry = jnp.pad(carry, ((shift, 0), (0, 0)))[:-shift]
-        elif shift < 0:
-            carry = jnp.pad(carry, ((0, -shift), (0, 0)))[-shift:]
-        min_l = jnp.min(carry, axis=-1, keepdims=True)  # [T, 1]
-        padded = jnp.pad(carry, ((0, 0), (1, 1)), constant_values=jnp.inf)
-        cand = jnp.minimum(
-            carry, jnp.minimum(padded[:, :-2] + p1, padded[:, 2:] + p1)
-        )
-        cand = jnp.minimum(cand, min_l + p2)
-        out = c + cand - min_l
-        return out, out
-
     init = jnp.zeros(vol.shape[1:], jnp.float32)
-    _, ys = jax.lax.scan(step, init, vol, reverse=reverse)
+    _, ys = scan_dir_from(vol, init, reverse=reverse, shift=shift, p1=p1, p2=p2)
     return ys
 
 

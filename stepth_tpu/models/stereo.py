@@ -126,6 +126,12 @@ class StereoModel:
             return lambda l, r: sharded.match_hierarchical_sharded(
                 l, r, self.match, self.pyramid, mesh
             )
+        if self.backend == "sgm":
+            from stepth_tpu.parallel import sgm_sharded
+
+            return lambda l, r: sgm_sharded.match_pair_sgm_sharded(
+                l, r, self.match, self.sgm, mesh
+            )
         raise NotImplementedError(f"sharded() unsupported for {self.backend}")
 
 
