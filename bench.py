@@ -358,6 +358,47 @@ def bench_extra():
         file=sys.stderr,
     )
 
+    # --- hybrid: hierarchical flagship with SGM at the coarsest level --------
+    from stepth_tpu.config import PyramidConfig
+    from stepth_tpu.match import pallas_refine
+
+    hcfg = MatchConfig(num_disparities=128, window=9, cost="sad")
+    hpyr = PyramidConfig(levels=4, refine_radius=4, coarsest_disparities=16)
+
+    def hsgm_loop(n):
+        def body(_, carry):
+            l, acc = carry
+            d = pallas_refine.match_hierarchical_pallas(
+                l, r1j, hcfg, hpyr, coarse_backend="sgm", sgm=sgm_sc
+            ).disparity
+            return l + d[:1, :1] * 1e-30, acc + d[:1, :1]
+
+        return jax.jit(
+            lambda l0: jax.lax.fori_loop(
+                0, n, body, (l0, jnp.zeros((1, 1), jnp.float32))
+            )[1]
+        )
+
+    t0 = time.perf_counter()
+    hs3, hs43 = hsgm_loop(3), hsgm_loop(43)
+    for f in (hs3, hs43):
+        _ = float(jnp.sum(f(l1j)))
+    print(
+        f"[bench-extra] hier-sgm compile+first: {time.perf_counter()-t0:.1f}s",
+        file=sys.stderr,
+    )
+    t0 = time.perf_counter()
+    _ = float(jnp.sum(hs3(l1j)))
+    t1 = time.perf_counter()
+    _ = float(jnp.sum(hs43(l1j)))
+    t2 = time.perf_counter()
+    per = ((t2 - t1) - (t1 - t0)) / 40
+    print(
+        f"[bench-extra] hierarchical-sgm 1080p eff-D=128 (SGM coarse, 4-dir):"
+        f" {per*1e3:.2f} ms/frame -> {1/per:.1f} fps (device throughput)",
+        file=sys.stderr,
+    )
+
     # --- config 1 workload on the native C++ host engine ---------------------
     try:
         from stepth_tpu import native

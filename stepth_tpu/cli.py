@@ -92,7 +92,10 @@ def main(argv=None) -> int:
     s.add_argument("--window", type=int, default=9)
     s.add_argument(
         "--backend",
-        choices=["dense", "pallas", "hierarchical", "hierarchical-pallas"],
+        choices=[
+            "dense", "pallas", "hierarchical", "hierarchical-pallas",
+            "hierarchical-sgm", "sgm", "sgm-pallas",
+        ],
         default="dense",
     )
     s.set_defaults(fn=_cmd_stereo)

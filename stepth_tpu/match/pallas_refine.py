@@ -44,6 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from stepth_tpu.config import MatchConfig, PyramidConfig
 from stepth_tpu.match import dense, pallas_dense
+from stepth_tpu.match.sgm import SGMConfig
 
 _BIG = 1e30
 _TW = 128  # lane-tile column width
@@ -434,7 +435,10 @@ def refine_level_shard(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "pyr", "tile_rows", "interpret", "lr_check")
+    jax.jit,
+    static_argnames=(
+        "cfg", "pyr", "tile_rows", "interpret", "lr_check", "coarse_backend", "sgm"
+    ),
 )
 def match_hierarchical_pallas(
     left,
@@ -444,6 +448,8 @@ def match_hierarchical_pallas(
     tile_rows: int = 64,
     interpret: Optional[bool] = None,
     lr_check: bool = False,
+    coarse_backend: str = "wta",
+    sgm: Optional[SGMConfig] = None,
 ) -> dense.MatchResult:
     """Coarse-to-fine matching, all levels on Pallas kernels: fused dense
     matcher at the coarsest level, tile-base refine kernel per finer level.
@@ -460,7 +466,17 @@ def match_hierarchical_pallas(
     and fill them from their scanline neighbors. The right-view disparity
     comes from the final refine level's own aggregated costs (its in-kernel
     shifting-frame right WTA, see :func:`refine_level` ``lr=True``) — ~1.2×
-    the plain runtime, replacing the round-1 mirrored second pyramid (2.2×)."""
+    the plain runtime, replacing the round-1 mirrored second pyramid (2.2×).
+
+    ``coarse_backend``: ``"wta"`` (default) runs the fused exhaustive matcher
+    at the coarsest level; ``"sgm"`` runs the all-Pallas semi-global matcher
+    (:func:`stepth_tpu.match.pallas_sgm.match_pair_sgm_pallas`, knobs via
+    ``sgm``) there instead. The coarse level is 4^(levels−1)× smaller than the
+    full image, so SGM's scanline regularization — which costs ~12× the
+    flagship at full resolution (the materialized cost volume is HBM-bound) —
+    is nearly free here, and its smoother prior survives into the refine
+    levels: repetitive texture and low-contrast regions that alias under
+    exhaustive WTA resolve to the coherent disparity surface."""
     from stepth_tpu.match import pyramid as pyr_mod
 
     lg = dense.grayscale(left)
@@ -478,10 +494,25 @@ def match_hierarchical_pallas(
         subpixel=cfg.subpixel,
         lr_threshold=None,
     )
-    disp, _, _, _ = pallas_dense.raw_match(
-        lefts[-1], rights[-1], coarse_cfg, tile_rows=min(tile_rows, 16),
-        interpret=interpret,
-    )
+    if coarse_backend == "wta":
+        disp, _, _, _ = pallas_dense.raw_match(
+            lefts[-1], rights[-1], coarse_cfg, tile_rows=min(tile_rows, 16),
+            interpret=interpret,
+        )
+    elif coarse_backend == "sgm":
+        from stepth_tpu.match import pallas_sgm
+
+        res_c = pallas_sgm.match_pair_sgm_pallas(
+            lefts[-1],
+            rights[-1],
+            coarse_cfg,
+            SGMConfig() if sgm is None else sgm,
+            tile_rows=min(tile_rows, 16),
+            interpret=interpret,
+        )
+        disp = res_c.disparity
+    else:
+        raise ValueError(f"coarse_backend must be 'wta' or 'sgm', got {coarse_backend!r}")
     max_base = pyr.coarsest_disparities
     disp_r = None
     for lvl in range(pyr.levels - 2, -1, -1):

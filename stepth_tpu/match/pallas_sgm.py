@@ -134,13 +134,15 @@ def _volume_kernel(
             rot[:] = pltpu.roll(rot[:], 1, axis=1)
         out_ref[k] = box_sum_slab(
             cost, zero_mask, win=win, S=S, W=W, RV=RV, TH=TH
-        )
+        ).astype(out_ref.dtype)
 
 
-def _aggregated_volume(lg, rg, cfg: MatchConfig, tile_rows: int, interpret: bool):
-    """Padded box-aggregated volume ``f32[D, hp, wp]`` plus the padded dims.
-    Same padding contract as :func:`pallas_dense.raw_match`, except ``hp`` is
-    rounded to 128 so both volume axes can sit on TPU lanes in the scans."""
+def _aggregated_volume(
+    lg, rg, cfg: MatchConfig, tile_rows: int, interpret: bool, dtype=jnp.float32
+):
+    """Padded box-aggregated volume ``[D, hp, wp]`` (``dtype``) plus the padded
+    dims. Same padding contract as :func:`pallas_dense.raw_match`, except ``hp``
+    is rounded to 128 so both volume axes can sit on TPU lanes in the scans."""
     h, w = lg.shape
     D = cfg.num_disparities
     RV = _round_up(cfg.window // 2, 8)
@@ -188,7 +190,7 @@ def _aggregated_volume(lg, rg, cfg: MatchConfig, tile_rows: int, interpret: bool
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec((DB, TH, wp), lambda i, j: (j, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((D, hp, wp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((D, hp, wp), dtype),
         scratch_shapes=[
             slab_ty,
             slab_ty,
@@ -242,15 +244,17 @@ def _scan_kernel(*refs, BS, D, TT, S_real, T_real, p1, p2, reverse, shift, first
         )  # prev[d+1]
         cand = jnp.minimum(prev, jnp.minimum(up + p1, dn + p1))
         cand = jnp.minimum(cand, min_l + p2)
-        c = v_ref[:, idx, :]
+        c = v_ref[:, idx, :].astype(jnp.float32)
         L = (c + cand) - min_l
         # zero outside the real extent: scans crossing the padding then enter
         # the first real pixel with an all-zero predecessor = fresh start
         L = L * tmask * (s < S_real).astype(jnp.float32)
         if first:
-            out_ref[:, idx, :] = L
+            out_ref[:, idx, :] = L.astype(out_ref.dtype)
         else:
-            out_ref[:, idx, :] = acc_ref[:, idx, :] + L
+            out_ref[:, idx, :] = (
+                acc_ref[:, idx, :].astype(jnp.float32) + L
+            ).astype(out_ref.dtype)
         carry[:] = L
 
 
@@ -307,7 +311,7 @@ def _scan_direction(
         grid=(T // TT, S // BS),
         in_specs=in_specs,
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((D, S, T), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((D, S, T), vol.dtype),
         scratch_shapes=[pltpu.VMEM((D, TT), jnp.float32)],
         input_output_aliases={} if first else {1: 0},
         interpret=interpret,
@@ -409,7 +413,7 @@ def _wta_kernel(
 
     for k in range(DB):
         d = j * DB + k
-        aggc = v_ref[k]  # [TH, W]
+        aggc = v_ref[k].astype(jnp.float32)  # [TH, W]
 
         upd = aggc < best[:]
         is_next = jnp.logical_and(jnp.logical_not(upd), bestd[:] == d - 1)
@@ -550,10 +554,15 @@ def match_pair_sgm_pallas(
         raise NotImplementedError(f"pallas sgm: cost {cfg.cost!r} unsupported")
     if sgm.directions not in (2, 4, 8):
         raise ValueError(f"directions must be 2, 4 or 8, got {sgm.directions}")
+    if sgm.volume_dtype not in ("f32", "bf16"):
+        raise ValueError(f"volume_dtype must be 'f32' or 'bf16', got {sgm.volume_dtype!r}")
+    vdtype = jnp.bfloat16 if sgm.volume_dtype == "bf16" else jnp.float32
     lg = dense.grayscale(left)
     rg = dense.grayscale(right)
     h, w = lg.shape
-    vol, (h, w, hp, wp) = _aggregated_volume(lg, rg, cfg, tile_rows, interpret)
+    vol, (h, w, hp, wp) = _aggregated_volume(
+        lg, rg, cfg, tile_rows, interpret, dtype=vdtype
+    )
     scale = float(cfg.window * cfg.window) if cfg.window > 1 else 1.0
     agg = aggregate_pallas(
         vol,

@@ -72,16 +72,23 @@ def _refine_level(left_g, right_g, prior, cfg: MatchConfig, radius: int):
     return jnp.clip(new_disp, 0.0, float(w - 1))
 
 
-@partial(jax.jit, static_argnames=("cfg", "pyr"))
+@partial(jax.jit, static_argnames=("cfg", "pyr", "coarse_backend", "sgm"))
 def match_hierarchical(
     left,
     right,
     cfg: MatchConfig = MatchConfig(),
     pyr: PyramidConfig = PyramidConfig(),
+    coarse_backend: str = "wta",
+    sgm=None,
 ) -> dense.MatchResult:
     """Hierarchical dense match of a rectified pair. Equivalent output contract
     to :func:`stepth_tpu.match.dense.match_pair` but with cost bounded per level;
-    the effective search range is ``coarsest_disparities × 2^(levels-1)``."""
+    the effective search range is ``coarsest_disparities × 2^(levels-1)``.
+
+    ``coarse_backend="sgm"`` runs the semi-global matcher at the coarsest
+    level (knobs via ``sgm``: an :class:`stepth_tpu.match.sgm.SGMConfig`) —
+    the XLA twin of the Pallas flagship's SGM-coarse hybrid
+    (:func:`stepth_tpu.match.pallas_refine.match_hierarchical_pallas`)."""
     lg = dense.grayscale(left)
     rg = dense.grayscale(right)
 
@@ -100,7 +107,21 @@ def match_hierarchical(
         lr_threshold=cfg.lr_threshold,
         uniqueness=cfg.uniqueness,
     )
-    res = dense.match_pair(lefts[-1], rights[-1], coarse_cfg)
+    if coarse_backend == "wta":
+        res = dense.match_pair(lefts[-1], rights[-1], coarse_cfg)
+    elif coarse_backend == "sgm":
+        from stepth_tpu.match import sgm as sgm_mod
+
+        res = sgm_mod.match_pair_sgm(
+            lefts[-1],
+            rights[-1],
+            coarse_cfg,
+            sgm_mod.SGMConfig() if sgm is None else sgm,
+        )
+    else:
+        raise ValueError(
+            f"coarse_backend must be 'wta' or 'sgm', got {coarse_backend!r}"
+        )
     disp = res.disparity
     for lvl in range(pyr.levels - 2, -1, -1):
         h, w = lefts[lvl].shape

@@ -10,6 +10,11 @@ Backends:
   * ``"pallas"``             — fused TPU kernel (fastest exhaustive-search path)
   * ``"hierarchical"``       — coarse-to-fine pyramid, XLA (large search ranges)
   * ``"hierarchical-pallas"``— coarse-to-fine, all levels on Pallas kernels
+  * ``"hierarchical-sgm"``   — coarse-to-fine with the SGM matcher at the
+                               coarsest level (SGM-class robustness on
+                               repetitive/low-texture scenes at near-flagship
+                               speed: the coarse volume is 4^(levels−1)×
+                               smaller than full-res SGM's)
   * ``"sgm"``                — semi-global matching (scanline-regularized WTA;
                                the accuracy backend for noisy/low-texture pairs)
   * ``"sgm-pallas"``         — the same SGM pipeline on fused TPU kernels
@@ -37,7 +42,7 @@ class StereoModel:
     backend: str = "dense"
     match: MatchConfig = MatchConfig()
     pyramid: PyramidConfig = PyramidConfig()
-    sgm: SGMConfig = SGMConfig()  # sgm backend only
+    sgm: SGMConfig = SGMConfig()  # sgm / sgm-pallas / hierarchical-sgm only
     precision: Tuple[int, int, int] = DEFAULT_PRECISION  # parity backend only
 
     def __call__(self, left, right) -> dense.MatchResult:
@@ -56,6 +61,13 @@ class StereoModel:
 
             return pallas_refine.match_hierarchical_pallas(
                 left, right, self.match, self.pyramid
+            )
+        if self.backend == "hierarchical-sgm":
+            from stepth_tpu.match import pallas_refine
+
+            return pallas_refine.match_hierarchical_pallas(
+                left, right, self.match, self.pyramid,
+                coarse_backend="sgm", sgm=self.sgm,
             )
         if self.backend == "sgm":
             from stepth_tpu.match import sgm as sgm_mod

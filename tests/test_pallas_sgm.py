@@ -101,3 +101,34 @@ def test_recovers_known_shift():
     res = pallas_sgm.match_pair_sgm_pallas(left, right, cfg, interpret=True)
     med = float(np.median(np.asarray(res.disparity)[8:-8, 8:-8]))
     assert abs(med - shift) < 0.5, med
+
+
+def test_bf16_volume_close():
+    """The bf16-volume fast mode stays within a small disparity deviation of
+    the exact f32 mode (bf16 rounds the materialized costs to ~0.4% relative;
+    winners flip only where the two best path costs are that close)."""
+    rng = np.random.default_rng(7)
+    left, right = _pair(rng, h=48, w=96, shift=6)
+    cfg = MatchConfig(num_disparities=16, window=5, lr_threshold=1.0)
+    ref = pallas_sgm.match_pair_sgm_pallas(
+        left, right, cfg, sgm.SGMConfig(directions=4), interpret=True
+    )
+    got = pallas_sgm.match_pair_sgm_pallas(
+        left, right, cfg, sgm.SGMConfig(directions=4, volume_dtype="bf16"),
+        interpret=True,
+    )
+    d_ref = np.asarray(ref.disparity)
+    d_got = np.asarray(got.disparity)
+    diff = np.abs(d_ref - d_got)
+    assert np.median(diff) <= 0.1, np.median(diff)
+    assert (diff <= 1.0).mean() > 0.98, (diff > 1.0).mean()
+
+
+def test_bad_volume_dtype_raises():
+    rng = np.random.default_rng(8)
+    left, right = _pair(rng)
+    with pytest.raises(ValueError, match="volume_dtype"):
+        pallas_sgm.match_pair_sgm_pallas(
+            left, right, MatchConfig(num_disparities=8, window=5),
+            sgm.SGMConfig(volume_dtype="f16"), interpret=True,
+        )
