@@ -36,7 +36,10 @@ match = MatchConfig(num_disparities=16, window=9)
 pyr = PyramidConfig(levels=3, refine_radius=4, coarsest_disparities=8)
 
 print(f"{'backend':22s} {'EPE':>7s} {'bad1':>7s} {'bad3':>7s}")
-for backend in ("dense", "pallas", "hierarchical", "hierarchical-pallas"):
+for backend in (
+    "dense", "pallas", "hierarchical", "hierarchical-pallas",
+    "hierarchical-sgm", "sgm",
+):
     model = StereoModel(backend=backend, match=match, pyramid=pyr)
     res = model(left, right)
     m = metrics.end_point_error(
