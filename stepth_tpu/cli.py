@@ -72,7 +72,24 @@ def _cmd_foreground(args) -> int:
     return 0
 
 
+def _honor_platform_env() -> None:
+    """Make ``JAX_PLATFORMS=cpu python -m stepth_tpu …`` actually run on CPU.
+
+    Site customizations that register an out-of-tree TPU backend (e.g. a
+    tunneled chip) can pin the platform selection before user code runs; the
+    env var alone then loses. An explicit config update wins, same pattern as
+    ``__graft_entry__.dryrun_multichip``."""
+    import os
+
+    want = os.environ.get("JAX_PLATFORMS", "").strip().lower()
+    if want:
+        import jax
+
+        jax.config.update("jax_platforms", want)
+
+
 def main(argv=None) -> int:
+    _honor_platform_env()
     p = argparse.ArgumentParser(prog="stepth_tpu", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
 

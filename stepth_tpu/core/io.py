@@ -105,3 +105,54 @@ def save(path: str | os.PathLike, array) -> None:
     if ext in (".jpg", ".jpeg") and im.mode == "RGBA":
         im = im.convert("RGB")
     im.save(path)
+
+
+def save_ply(path, points, colors=None, valid=None) -> int:
+    """Write a point cloud to binary little-endian PLY.
+
+    ``points``: [..., 3] (any leading shape; flattened). ``colors``: optional
+    [..., 3] u8 (or float 0-255). ``valid``: optional boolean mask over the
+    leading shape — invalid and non-finite points are dropped. Returns the
+    number of points written. Host-side (NumPy at the edge, like the image
+    I/O in this module)."""
+    pts = np.asarray(points, dtype=np.float32).reshape(-1, 3)
+    keep = np.isfinite(pts).all(axis=1)
+    if valid is not None:
+        keep &= np.asarray(valid, dtype=bool).reshape(-1)
+    col = None
+    if colors is not None:
+        col = np.asarray(colors).reshape(-1, 3)
+        if col.dtype != np.uint8:
+            col = np.clip(col, 0, 255).astype(np.uint8)
+        col = col[keep]
+    pts = pts[keep]
+    n = int(pts.shape[0])
+    header = [
+        "ply",
+        "format binary_little_endian 1.0",
+        f"element vertex {n}",
+        "property float x",
+        "property float y",
+        "property float z",
+    ]
+    if col is not None:
+        header += [
+            "property uchar red",
+            "property uchar green",
+            "property uchar blue",
+        ]
+    header.append("end_header")
+    if col is not None:
+        rec = np.zeros(
+            n,
+            dtype=[("xyz", np.float32, 3), ("rgb", np.uint8, 3)],
+        )
+        rec["xyz"] = pts.astype("<f4")
+        rec["rgb"] = col
+        body = rec.tobytes()
+    else:
+        body = pts.astype("<f4").tobytes()
+    with open(path, "wb") as f:
+        f.write(("\n".join(header) + "\n").encode("ascii"))
+        f.write(body)
+    return n

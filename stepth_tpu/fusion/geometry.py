@@ -153,3 +153,14 @@ def disparity_to_depth(disp: jax.Array, focal: float, baseline: float) -> jax.Ar
     """Stereo disparity → metric depth: Z = f·B/d (invalid/zero disparity → 0)."""
     d = jnp.asarray(disp)
     return jnp.where(d > 1e-3, focal * baseline / jnp.maximum(d, 1e-3), 0.0)
+
+
+def depth_to_points(depth: jax.Array, intrinsics: jax.Array) -> jax.Array:
+    """Depth image [H, W] → camera-frame point image [H, W, 3] (pinhole
+    back-projection of every pixel center; pair with
+    :func:`stepth_tpu.core.io.save_ply` for export). Greenfield convenience —
+    the reference stops at the 2-D depth map (src/depth_image.rs:91-136)."""
+    h, w = depth.shape
+    u = jnp.arange(w, dtype=jnp.float32)[None, :].repeat(h, axis=0)
+    v = jnp.arange(h, dtype=jnp.float32)[:, None].repeat(w, axis=1)
+    return unproject(jnp.stack([u, v], -1), depth, intrinsics)
