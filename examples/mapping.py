@@ -8,6 +8,12 @@ Synthetic rig; runs anywhere:
 import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax
+
+# default to CPU (probing the backend would initialize the tunneled TPU);
+# set STEPTH_EXAMPLE_PLATFORM=tpu to run on the chip
+jax.config.update("jax_platforms", os.environ.get("STEPTH_EXAMPLE_PLATFORM", "cpu"))
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -51,3 +57,10 @@ prob = ba.BAProblem(
 )
 state = ba.solve(prob, iters=8, cg_iters=10)
 print("BA reprojection cost:", float(state.cost))
+
+# export the fused keyframe as a point cloud (inspect in any PLY viewer)
+from stepth_tpu.core import io
+
+cloud = geo.depth_to_points(fused.depth, intr)
+n = io.save_ply("/tmp/keyframe0.ply", cloud, valid=fused.depth > 0)
+print(f"wrote /tmp/keyframe0.ply ({n} points)")

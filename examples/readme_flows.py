@@ -7,6 +7,12 @@ this framework's containers. Run from the repo root:
 import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax
+
+# default to CPU (probing the backend would initialize the tunneled TPU);
+# set STEPTH_EXAMPLE_PLATFORM=tpu to run on the chip
+jax.config.update("jax_platforms", os.environ.get("STEPTH_EXAMPLE_PLATFORM", "cpu"))
+
 from stepth_tpu import DepthFrame
 
 assets = sys.argv[1] if len(sys.argv) > 1 else "/root/reference/assets"
