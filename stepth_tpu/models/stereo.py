@@ -138,6 +138,11 @@ class StereoModel:
             return lambda l, r: sharded.match_hierarchical_sharded(
                 l, r, self.match, self.pyramid, mesh
             )
+        if self.backend == "hierarchical-sgm":
+            return lambda l, r: sharded.match_hierarchical_sharded(
+                l, r, self.match, self.pyramid, mesh,
+                coarse_backend="sgm", sgm=self.sgm,
+            )
         if self.backend == "sgm":
             from stepth_tpu.parallel import sgm_sharded
 

@@ -243,7 +243,9 @@ def match_pair_sharded_pallas(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "pyr", "mesh", "tile_rows", "interpret"),
+    static_argnames=(
+        "cfg", "pyr", "mesh", "tile_rows", "interpret", "coarse_backend", "sgm"
+    ),
 )
 def match_hierarchical_sharded(
     left,
@@ -253,6 +255,8 @@ def match_hierarchical_sharded(
     mesh: Optional[Mesh] = None,
     tile_rows: int = 32,
     interpret: Optional[bool] = None,
+    coarse_backend: str = "wta",
+    sgm=None,
 ) -> dense.MatchResult:
     """The flagship hierarchical matcher sharded over the mesh ``tile`` axis:
     every pyramid level runs its Pallas kernel on the local row shard extended
@@ -268,7 +272,15 @@ def match_hierarchical_sharded(
     at a global row ≡ 0 (mod ``tile_rows``) and sees exactly the rows the
     single-device run's tile sees. Vertically a halo ≥ window//2 + 1 covers the
     box sums and the median (``refine_radius`` only widens the *horizontal*
-    search, which is unsharded)."""
+    search, which is unsharded).
+
+    ``coarse_backend="sgm"`` (knobs via ``sgm``) swaps the coarsest level for
+    the scanline-regularized SGM matcher — the sharded twin of
+    ``match_hierarchical_pallas(coarse_backend="sgm")``. Across shards the
+    coarse stage relays scan carries over ICI (exact mode of
+    :mod:`stepth_tpu.parallel.sgm_sharded`), so it equals the *XLA* SGM
+    backend at the coarsest level + the same refine levels to ulp (the Pallas
+    and XLA SGM backends themselves agree except on exact-cost WTA ties)."""
     from stepth_tpu.config import PyramidConfig
     from stepth_tpu.match import pallas_dense, pallas_refine, pallas_post
     from stepth_tpu.match import pyramid as pyr_mod
@@ -331,16 +343,36 @@ def match_hierarchical_sharded(
         lvl = pyr.levels - 1
         th_l = th >> lvl
         h_l = h >> lvl
-        l_ext = _with_halo(lefts[-1], halo, "tile", edge="replicate")
-        r_ext = _with_halo(rights[-1], halo, "tile", edge="replicate")
-        # the coarse fused matcher's output is tile-boundary independent (all
-        # slabs interior, cost zero-masked at *global* rows), so its tile_rows
-        # need not match the single-device call's
-        disp, _, _, _ = pallas_dense.raw_match(
-            l_ext, r_ext, coarse_cfg, tile_rows=min(tr, 16), interpret=interpret,
-            g_row0=idx * th_l - halo, g_h=h_l,
-        )
-        disp = disp[halo : halo + th_l]
+        if coarse_backend == "sgm":
+            # SGM coarse prior: the XLA SGM tile with its exact shard-to-shard
+            # carry relay (parallel/sgm_sharded.py) — equal to the unsharded
+            # XLA SGM backend to ulp. At the coarsest level the volume is
+            # 4^(levels−1)× smaller than full-res, so the serial relay rounds
+            # cost next to nothing.
+            from stepth_tpu.match import sgm as sgm_xla
+            from stepth_tpu.parallel import sgm_sharded as sgm_sh
+
+            sc = sgm_xla.SGMConfig() if sgm is None else sgm
+            disp, _, _ = sgm_sh._sgm_tile(
+                lefts[-1], rights[-1], cfg=coarse_cfg, sgm=sc,
+                halo=required_halo(coarse_cfg), wu=0, h_total=h_l,
+                exact=True, axis_name="tile",
+            )
+        elif coarse_backend == "wta":
+            l_ext = _with_halo(lefts[-1], halo, "tile", edge="replicate")
+            r_ext = _with_halo(rights[-1], halo, "tile", edge="replicate")
+            # the coarse fused matcher's output is tile-boundary independent
+            # (all slabs interior, cost zero-masked at *global* rows), so its
+            # tile_rows need not match the single-device call's
+            disp, _, _, _ = pallas_dense.raw_match(
+                l_ext, r_ext, coarse_cfg, tile_rows=min(tr, 16),
+                interpret=interpret, g_row0=idx * th_l - halo, g_h=h_l,
+            )
+            disp = disp[halo : halo + th_l]
+        else:
+            raise ValueError(
+                f"coarse_backend must be 'wta' or 'sgm', got {coarse_backend!r}"
+            )
 
         max_base = pyr.coarsest_disparities
         for lvl in range(pyr.levels - 2, -1, -1):

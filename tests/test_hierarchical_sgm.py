@@ -127,3 +127,69 @@ def test_xla_hierarchical_sgm_coarse(rng):
     )
     err = np.abs(np.asarray(interior(res.disparity, 16)) - shift)
     assert np.median(err) <= 1.0
+
+
+def test_sharded_hierarchical_sgm_matches_composition(rng):
+    """Row-tile-sharded hybrid == (unsharded XLA SGM at the coarsest level +
+    the identical refine levels + median), to the sharded-SGM ulp standard."""
+    from stepth_tpu.match import pallas_post, pyramid as pyr_mod
+    from stepth_tpu.match import sgm as sgm_xla
+    from stepth_tpu.parallel import mesh as mesh_mod, sharded
+
+    shift = 9
+    left, right = make_pair(rng, h=128, w=256, shift=shift)
+    cfg = MatchConfig(num_disparities=32, window=9)
+    pyr = PyramidConfig(levels=2, refine_radius=4, coarsest_disparities=16)
+    sc = SGMConfig(directions=4)
+    m = mesh_mod.make_mesh(data=1, tile=2)
+    got = sharded.match_hierarchical_sharded(
+        left, right, cfg, pyr, m, tile_rows=32, coarse_backend="sgm", sgm=sc
+    )
+
+    lg = dense.grayscale(jnp.asarray(left, jnp.float32))
+    rg = dense.grayscale(jnp.asarray(right, jnp.float32))
+    lefts, rights = [lg], [rg]
+    for _ in range(pyr.levels - 1):
+        lefts.append(pyr_mod.downsample2(lefts[-1]))
+        rights.append(pyr_mod.downsample2(rights[-1]))
+    coarse_cfg = MatchConfig(
+        num_disparities=pyr.coarsest_disparities,
+        window=cfg.window,
+        cost=cfg.cost,
+        census_window=cfg.census_window,
+        subpixel=cfg.subpixel,
+        lr_threshold=None,
+    )
+    disp = sgm_xla.match_pair_sgm(lefts[-1], rights[-1], coarse_cfg, sc).disparity
+    max_base = pyr.coarsest_disparities
+    for lvl in range(pyr.levels - 2, -1, -1):
+        h, w = lefts[lvl].shape
+        prior = pyr_mod.upsample2_disparity(disp, h, w)
+        max_base *= 2
+        disp = pallas_refine.refine_level(
+            lefts[lvl], rights[lvl], prior, cfg, pyr.refine_radius, max_base,
+            tile_rows=32, interpret=True,
+        )
+    ref = pallas_post.median3_pallas(disp, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got.disparity), np.asarray(ref), atol=1e-4
+    )
+    err = np.abs(np.asarray(interior(got.disparity, 16)) - shift)
+    assert np.median(err) <= 1.0
+
+
+def test_sharded_hierarchical_sgm_via_model(rng):
+    from stepth_tpu.parallel import mesh as mesh_mod
+
+    shift = 6
+    left, right = make_pair(rng, h=128, w=256, shift=shift)
+    model = StereoModel(
+        backend="hierarchical-sgm",
+        match=MatchConfig(num_disparities=32, window=9),
+        pyramid=PyramidConfig(levels=2, refine_radius=4, coarsest_disparities=16),
+        sgm=SGMConfig(directions=4),
+    )
+    run = model.sharded(mesh_mod.make_mesh(data=1, tile=4))
+    res = run(left, right)
+    err = np.abs(np.asarray(interior(res.disparity, 16)) - shift)
+    assert np.median(err) <= 1.0
