@@ -151,8 +151,37 @@ def cpu_baseline_fps(left_np, right_np):
     return native_fps, numpy_fps
 
 
+def _tunnel_precheck(budget_s: float = 90.0) -> None:
+    """Fail fast (exit 3, diagnostic on stderr) when the tunneled-TPU relay
+    is unreachable — ``jax.devices()`` would otherwise retry-connect forever
+    and the run dies as a silent watchdog kill instead of a clear error.
+    Only active when the axon pool override points at a loopback relay."""
+    import os
+    import socket
+
+    ip = os.environ.get("PALLAS_AXON_POOL_IPS", "")
+    if ip != "127.0.0.1" or os.environ.get("JAX_PLATFORMS", "axon") != "axon":
+        return
+    deadline = time.monotonic() + budget_s
+    while time.monotonic() < deadline:
+        try:
+            with socket.create_connection((ip, 8083), timeout=5):
+                return
+        except OSError:
+            time.sleep(5)
+    print(
+        "[bench] FATAL: axon relay 127.0.0.1:8083 unreachable for "
+        f"{budget_s:.0f}s — the TPU tunnel is down (relay process dead or "
+        "grant service gone). No JSON emitted; restart the tunnel and rerun.",
+        file=sys.stderr,
+    )
+    raise SystemExit(3)
+
+
 def main():
     import os
+
+    _tunnel_precheck()
 
     import jax
 
