@@ -715,7 +715,120 @@ def bench_profile():
     )
 
 
+def bench_profile_sgm():
+    """Per-stage timing of the Pallas SGM pipeline (``--profile-sgm``):
+    volume emit, volume transpose, one horizontal + one vertical scan pass,
+    WTA-from-volume, and the full pipeline — each in f32 and bf16 volume
+    modes. The scans are HBM-bound, so these stages should scale with the
+    volume's byte size."""
+    import os
+
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+
+    import jax.numpy as jnp
+
+    from stepth_tpu.config import MatchConfig
+    from stepth_tpu.match import dense, pallas_sgm
+    from stepth_tpu.match import sgm as sgm_mod
+
+    cfg = MatchConfig(num_disparities=64, window=5, cost="sad", lr_threshold=1.0)
+    left_np, right_np = make_pair(H, W)
+    left = jnp.asarray(left_np)
+    right = jnp.asarray(right_np)
+    lg = dense.grayscale(left)
+    rg = dense.grayscale(right)
+
+    def timeit(name, fn, *args, n2=25):
+        def looped(n):
+            def body(_, x):
+                out = fn(x, *args[1:])
+                return x + jnp.ravel(out)[0].astype(x.dtype) * 1e-30
+
+            return jax.jit(lambda a: jax.lax.fori_loop(0, n, body, a))
+
+        f1, f2 = looped(2), looped(n2)
+        for f in (f1, f2):
+            _ = float(jnp.ravel(f(args[0]))[0])
+        est = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _ = float(jnp.ravel(f1(args[0]))[0])
+            t1 = time.perf_counter()
+            _ = float(jnp.ravel(f2(args[0]))[0])
+            t2 = time.perf_counter()
+            est.append(((t2 - t1) - (t1 - t0)) / (n2 - 2))
+        ms = sorted(est)[1] * 1e3
+        print(f"[profile-sgm] {name}: {ms:.3f} ms", file=sys.stderr)
+        return ms
+
+    for vname, vdt in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+        vol, (h, w, hp, wp) = pallas_sgm._aggregated_volume(
+            lg, rg, cfg, 16, False, dtype=vdt
+        )
+        vol.block_until_ready()
+        gb = vol.size * vol.dtype.itemsize / 1e9
+        print(
+            f"[profile-sgm] --- volume {vname}: [{cfg.num_disparities},{hp},{wp}]"
+            f" = {gb:.2f} GB ---",
+            file=sys.stderr,
+        )
+        timeit(
+            f"{vname} volume emit",
+            lambda l, r, dt=vdt: pallas_sgm._aggregated_volume(
+                dense.grayscale(l), dense.grayscale(r), cfg, 16, False, dtype=dt
+            )[0],
+            left,
+            right,
+            n2=12,
+        )
+        volT = jnp.swapaxes(vol, 1, 2)
+        timeit(f"{vname} transpose [D,hp,wp]->[D,wp,hp]",
+               lambda v: jnp.swapaxes(v, 1, 2), vol, n2=12)
+        timeit(
+            f"{vname} horizontal scan pass (on volT)",
+            lambda v: pallas_sgm._scan_direction(
+                v, None, S_real=w, T_real=h, p1=40.0, p2=160.0, reverse=False
+            ),
+            volT,
+            n2=12,
+        )
+        timeit(
+            f"{vname} vertical scan pass (+acc)",
+            lambda v: pallas_sgm._scan_direction(
+                v, v, S_real=h, T_real=w, p1=40.0, p2=160.0, reverse=False
+            ),
+            vol,
+            n2=12,
+        )
+        timeit(
+            f"{vname} WTA-from-volume",
+            lambda v: pallas_sgm._wta_from_volume(v, Wr=w, cfg=cfg, tile_rows=16)[0],
+            vol,
+            n2=12,
+        )
+        sc = sgm_mod.SGMConfig(directions=4, volume_dtype=vname if vname == "bf16" else "f32")
+        timeit(
+            f"{vname} FULL sgm-pallas 1080p D=64 4-dir",
+            lambda l, r, s=sc: pallas_sgm.match_pair_sgm_pallas(
+                l, r, cfg, s
+            ).disparity,
+            left,
+            right,
+            n2=12,
+        )
+
+
 if __name__ == "__main__":
+    if "--profile-sgm" in sys.argv:
+        bench_profile_sgm()
+        raise SystemExit(0)
     if "--extra" in sys.argv:
         bench_extra()
     elif "--profile" in sys.argv:
