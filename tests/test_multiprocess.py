@@ -88,3 +88,12 @@ def test_two_process_heartbeat_failure_detection():
         "peer failure detected" in outs[0]
         or "stopped sending heartbeats" in outs[0]
     ), outs[0]
+
+def test_two_process_sgm_carry_relay():
+    # Exact-mode sharded SGM: the vertical/diagonal scan carries relay
+    # shard-to-shard via ppermute, crossing the OS-process boundary at the
+    # shard-3 -> shard-4 hop. Both workers assert per-shard parity with the
+    # unsharded backend.
+    outs = _run_drill("sgm", {0: {0}, 1: {0}}, timeout_s=420)
+    assert "sgm drill OK" in outs[0]
+    assert "sgm drill OK" in outs[1]

@@ -22,6 +22,10 @@ Modes:
              reductions cross the process boundary every LM/CG step), states
              replicate; every process asserts the result matches a
              single-device LM run of the same problem.
+  sgm      — row-tile-sharded semi-global matching in exact mode: the
+             vertical/diagonal scan-carry relay ppermutes shard-to-shard,
+             crossing the OS-process boundary mid-chain; every process
+             asserts its shards match the unsharded XLA SGM backend.
 """
 
 import os
@@ -61,6 +65,8 @@ def main() -> None:
         _drill_failure(pid)
     elif mode == "ba":
         _drill_ba(pid)
+    elif mode == "sgm":
+        _drill_sgm(pid)
     else:
         raise SystemExit(f"unknown mode {mode}")
 
@@ -117,6 +123,48 @@ def _drill_match(pid: int) -> None:
             np.asarray(shard.data), want[shard.index], err_msg=f"pid{pid}"
         )
     print(f"[worker {pid}] match drill OK", flush=True)
+
+
+def _drill_sgm(pid: int) -> None:
+    import jax
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from stepth_tpu.config import MatchConfig
+    from stepth_tpu.match import sgm
+    from stepth_tpu.parallel import distributed, sgm_sharded
+
+    mesh = distributed.global_mesh(data=1, tile=8)
+    assert mesh.devices.size == 8, mesh
+
+    rng = np.random.default_rng(13)
+    h, w, shift = 64, 96, 5
+    left = rng.uniform(0, 255, (h, w)).astype(np.float32)
+    right = np.roll(left, -shift, axis=1).astype(np.float32)
+    cfg = MatchConfig(num_disparities=16, window=5, lr_threshold=1.0)
+    sc = sgm.SGMConfig(directions=8)
+
+    sh = NamedSharding(mesh, P("tile", None))
+    gl = jax.make_array_from_callback(left.shape, sh, lambda idx: left[idx])
+    gr = jax.make_array_from_callback(right.shape, sh, lambda idx: right[idx])
+    res = sgm_sharded.match_pair_sgm_sharded(gl, gr, cfg, sc, mesh)
+
+    # Single-device reference, computed redundantly on every process. The
+    # relay chain spans all 8 shards, so rounds 4..7 of every vertical and
+    # diagonal direction carry state that crossed the process boundary.
+    ref = sgm.match_pair_sgm(left, right, cfg, sc)
+    ref_d = np.asarray(ref.disparity)
+    ref_v = np.asarray(ref.valid)
+    for shard in res.disparity.addressable_shards:
+        np.testing.assert_allclose(
+            np.asarray(shard.data), ref_d[shard.index], atol=1e-5,
+            err_msg=f"pid{pid}",
+        )
+    for shard in res.valid.addressable_shards:
+        np.testing.assert_array_equal(
+            np.asarray(shard.data), ref_v[shard.index], err_msg=f"pid{pid}"
+        )
+    print(f"[worker {pid}] sgm drill OK", flush=True)
 
 
 def _drill_ba(pid: int) -> None:
