@@ -58,9 +58,10 @@ class SGMConfig:
     materialized cost volume exact — bit-equal to this XLA backend; ``"bf16"``
     halves the HBM bytes of every volume pass. The directional scans are pure
     HBM bandwidth (the volume is ~570 MB at 1080p/D=64 and each direction
-    reads it plus reads/writes the accumulator), so bf16 buys ~1.7× wall
-    clock for ≤0.5% relative cost error — sub-0.1 px disparity deviation on
-    textured scenes (tests/test_pallas_sgm.py::test_bf16_volume_close).
+    reads it plus reads/writes the accumulator), so bf16 trades ≤0.5%
+    relative cost error — sub-0.1 px median disparity deviation on textured
+    scenes (tests/test_pallas_sgm.py::test_bf16_volume_close) — for roughly
+    half the scan wall-clock (see BASELINE.md for measured numbers).
     """
 
     p1: float = 8.0

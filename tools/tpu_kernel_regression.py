@@ -111,6 +111,27 @@ def main() -> int:
                 interpret=interp,
             ),
         )
+    check(
+        "sgm pipeline (bf16 volume)",
+        lambda interp: pallas_sgm.match_pair_sgm_pallas(
+            left, right, scfg,
+            sgm.SGMConfig(directions=4, volume_dtype="bf16"),
+            interpret=interp,
+        ),
+    )
+
+    from stepth_tpu.config import PyramidConfig
+
+    check(
+        "hierarchical-sgm hybrid",
+        lambda interp: pallas_refine.match_hierarchical_pallas(
+            left, right,
+            MatchConfig(num_disparities=16, window=9),
+            PyramidConfig(levels=2, refine_radius=4, coarsest_disparities=8),
+            interpret=interp,
+            coarse_backend="sgm",
+        ),
+    )
 
     if failures:
         print(f"FAILED: {failures}", file=sys.stderr)
