@@ -247,35 +247,81 @@ def _schur_solve(problem, A, B, r, lm_lambda, cg_iters, axis_name: Optional[str]
     return dpose, dpoint
 
 
-def _cost(problem, poses, points):
+def _rho(s2, loss: str, delta: float):
+    """Per-observation robust cost from the squared weighted residual norm
+    ``s2 = ||w·r||²``. ``l2`` is the plain squared norm (the historical
+    objective, bit-identical); ``huber`` is quadratic to ``delta`` then
+    linear; ``cauchy`` saturates hard outliers."""
+    if loss == "l2":
+        return s2
+    s = jnp.sqrt(jnp.maximum(s2, 0.0))
+    if loss == "huber":
+        return jnp.where(s <= delta, s2, 2.0 * delta * s - delta * delta)
+    if loss == "cauchy":
+        return delta * delta * jnp.log1p(s2 / (delta * delta))
+    raise ValueError(f"loss must be 'l2', 'huber' or 'cauchy', got {loss!r}")
+
+
+def _irls_problem(problem, poses, points, loss: str, delta: float):
+    """The IRLS-reweighted problem for one Gauss-Newton step of the robust
+    objective Σ ρ(||w·rᵢ||): per-obs weight scaled by √ω, ω = ρ'(s)/(2s)
+    (Triggs et al., "Bundle Adjustment — A Modern Synthesis" §4.3)."""
+    if loss == "l2":
+        return problem
+    rw = residuals(problem, poses, points)
+    s = jnp.sqrt(jnp.sum(rw * rw, axis=-1) + 1e-12)
+    if loss == "huber":
+        omega = jnp.minimum(1.0, delta / s)
+    elif loss == "cauchy":
+        omega = 1.0 / (1.0 + (s / delta) ** 2)
+    else:
+        raise ValueError(f"loss must be 'l2', 'huber' or 'cauchy', got {loss!r}")
+    return problem._replace(weight=problem.weight * jnp.sqrt(omega))
+
+
+def _cost(problem, poses, points, loss: str = "l2", delta: float = 4.0):
     r = residuals(problem, poses, points)
     wsum = jnp.maximum(jnp.sum(problem.weight), 1.0)
-    return jnp.sum(r * r) / wsum
+    if loss == "l2":  # keep the historical reduction order (bit-identical)
+        return jnp.sum(r * r) / wsum
+    return jnp.sum(_rho(jnp.sum(r * r, axis=-1), loss, delta)) / wsum
 
 
-@partial(jax.jit, static_argnames=("iters", "cg_iters", "fix_first_cam"))
+@partial(
+    jax.jit, static_argnames=("iters", "cg_iters", "fix_first_cam", "loss")
+)
 def solve(
     problem: BAProblem,
     iters: int = 10,
     cg_iters: int = 10,
     lm_lambda0: float = 1e-3,
     fix_first_cam: bool = True,
+    loss: str = "l2",
+    loss_delta: float = 4.0,
 ) -> BAState:
     """Levenberg–Marquardt loop (single device). Gauge freedom is fixed by
-    freezing camera 0 when ``fix_first_cam``."""
+    freezing camera 0 when ``fix_first_cam``.
+
+    ``loss``: robust per-observation cost — ``"l2"`` (default, the plain
+    reprojection objective), ``"huber"`` or ``"cauchy"`` with scale
+    ``loss_delta`` (pixels of weighted residual). Robust modes run IRLS:
+    each LM step reweights observations by √(ρ'(s)/2s) of the *current*
+    residual norm, so gross outliers stop dragging the solution
+    (tests/test_fusion_ba.py::test_robust_losses_reject_outliers)."""
 
     def lm_body(i, state):
         poses, points, lm, _ = state
-        r, A, B = _jacobian_blocks(problem, poses, points)
+        eff = _irls_problem(problem, poses, points, loss, loss_delta)
+        r, A, B = _jacobian_blocks(eff, poses, points)
         if fix_first_cam:
             A = A * (problem.cam_idx != 0).astype(A.dtype)[:, None, None]
-        dpose, dpoint = _schur_solve(problem, A, B, r, lm, cg_iters, None)
+        dpose, dpoint = _schur_solve(eff, A, B, r, lm, cg_iters, None)
         if fix_first_cam:
             dpose = dpose.at[0].set(0.0)
         new_poses = poses + dpose
         new_points = points + dpoint
-        c_old = _cost(problem, poses, points)
-        c_new = _cost(problem, new_poses, new_points)
+        c_old = _cost(problem, poses, points, loss, loss_delta)
+        c_new = _cost(problem, new_poses, new_points, loss, loss_delta)
         accept = c_new < c_old
         lm = jnp.where(accept, jnp.maximum(lm * 0.5, 1e-7), jnp.minimum(lm * 4.0, 1e3))
         poses = jnp.where(accept, new_poses, poses)
@@ -286,13 +332,16 @@ def solve(
         problem.poses,
         problem.points,
         jnp.float32(lm_lambda0),
-        _cost(problem, problem.poses, problem.points),
+        _cost(problem, problem.poses, problem.points, loss, loss_delta),
     )
     poses, points, lm, cost = lax.fori_loop(0, iters, lm_body, init)
     return BAState(poses=poses, points=points, cost=cost, lm_lambda=lm)
 
 
-@partial(jax.jit, static_argnames=("mesh", "iters", "cg_iters", "fix_first_cam"))
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "iters", "cg_iters", "fix_first_cam", "loss"),
+)
 def solve_sharded(
     problem: BAProblem,
     mesh: Mesh,
@@ -300,10 +349,13 @@ def solve_sharded(
     cg_iters: int = 10,
     lm_lambda0: float = 1e-3,
     fix_first_cam: bool = True,
+    loss: str = "l2",
+    loss_delta: float = 4.0,
 ) -> BAState:
     """Distributed LM: observations shard over the mesh ``data`` axis; poses and
     points replicate; every reduction is a ``psum`` collective. Identical math
-    to :func:`solve` (tested equal on the fake-device mesh)."""
+    to :func:`solve` (tested equal on the fake-device mesh), including the
+    robust ``loss`` modes (IRLS weights are per-observation and shard-local)."""
     n = problem.uv.shape[0]
     ndata = mesh.shape["data"]
     if n % ndata != 0:
@@ -316,22 +368,29 @@ def solve_sharded(
     )
 
     def shard_fn(prob: BAProblem):
+        def cost_of(ps, xs):
+            rr = residuals(prob, ps, xs)
+            if loss == "l2":  # historical reduction order (bit-identical)
+                s = lax.psum(jnp.sum(rr * rr), "data")
+            else:
+                s = lax.psum(
+                    jnp.sum(_rho(jnp.sum(rr * rr, axis=-1), loss, loss_delta)),
+                    "data",
+                )
+            w = lax.psum(jnp.sum(prob.weight), "data")
+            return s / jnp.maximum(w, 1.0)
+
         def lm_body(i, state):
             poses, points, lm, _ = state
-            r, A, B = _jacobian_blocks(prob, poses, points)
+            eff = _irls_problem(prob, poses, points, loss, loss_delta)
+            r, A, B = _jacobian_blocks(eff, poses, points)
             if fix_first_cam:
                 A = A * (prob.cam_idx != 0).astype(A.dtype)[:, None, None]
-            dpose, dpoint = _schur_solve(prob, A, B, r, lm, cg_iters, "data")
+            dpose, dpoint = _schur_solve(eff, A, B, r, lm, cg_iters, "data")
             if fix_first_cam:
                 dpose = dpose.at[0].set(0.0)
             new_poses = poses + dpose
             new_points = points + dpoint
-
-            def cost_of(ps, xs):
-                rr = residuals(prob, ps, xs)
-                s = lax.psum(jnp.sum(rr * rr), "data")
-                w = lax.psum(jnp.sum(prob.weight), "data")
-                return s / jnp.maximum(w, 1.0)
 
             c_old = cost_of(poses, points)
             c_new = cost_of(new_poses, new_points)
@@ -341,13 +400,12 @@ def solve_sharded(
             points = jnp.where(accept, new_points, points)
             return poses, points, lm, jnp.where(accept, c_new, c_old)
 
-        def cost0():
-            rr = residuals(prob, prob.poses, prob.points)
-            s = lax.psum(jnp.sum(rr * rr), "data")
-            w = lax.psum(jnp.sum(prob.weight), "data")
-            return s / jnp.maximum(w, 1.0)
-
-        init = (prob.poses, prob.points, jnp.float32(lm_lambda0), cost0())
+        init = (
+            prob.poses,
+            prob.points,
+            jnp.float32(lm_lambda0),
+            cost_of(prob.poses, prob.points),
+        )
         poses, points, lm, cost = lax.fori_loop(0, iters, lm_body, init)
         return BAState(poses=poses, points=points, cost=cost, lm_lambda=lm)
 

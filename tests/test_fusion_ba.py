@@ -183,3 +183,63 @@ def test_segsum_large_segment_branch(rng):
     want = jax.ops.segment_sum(x, idx, num_segments=9000)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
     assert got.shape == (9000, 3, 3)
+
+
+def test_robust_losses_reject_outliers(rng):
+    """5% gross outlier observations (sign-symmetric, 80–160 px): the l2
+    solve is dragged off (inliers reproject at several px); huber IRLS pulls
+    the solution back to the inliers; redescending cauchy suppresses the
+    outliers' influence almost entirely. Measured on inlier reprojection
+    error — point coordinates aren't gauge-fixed (scale is free with one
+    anchored camera), so they're not a valid accuracy metric."""
+    problem, _, _ = make_problem(rng, n_cams=4, n_pts=64, perturb=0.03)
+    uv = np.asarray(problem.uv).copy()
+    n = uv.shape[0]
+    bad = rng.choice(n, size=n // 20, replace=False)
+    mag = rng.uniform(80.0, 160.0, (len(bad), 2)).astype(np.float32)
+    sign = rng.choice([-1.0, 1.0], (len(bad), 2)).astype(np.float32)
+    uv[bad] += mag * sign
+    corrupted = problem._replace(uv=jnp.asarray(uv))
+    keep = np.ones(n, bool)
+    keep[bad] = False
+
+    def inlier_err(state):
+        r = np.asarray(ba.residuals(corrupted, state.poses, state.points))
+        return float(np.abs(r[keep]).mean())
+
+    e_l2 = inlier_err(ba.solve(corrupted, iters=12, cg_iters=10))
+    e_hub = inlier_err(
+        ba.solve(corrupted, iters=12, cg_iters=10, loss="huber", loss_delta=4.0)
+    )
+    e_cau = inlier_err(
+        ba.solve(corrupted, iters=12, cg_iters=10, loss="cauchy", loss_delta=4.0)
+    )
+    assert e_hub < e_l2 * 0.2, (e_hub, e_l2)
+    assert e_hub < 1.5, e_hub
+    assert e_cau < 0.05, e_cau
+
+
+def test_robust_loss_l2_unchanged(rng):
+    """loss="l2" is the same objective as the historical default, bitwise."""
+    problem, _, _ = make_problem(rng, n_cams=3, n_pts=32, perturb=0.03)
+    a = ba.solve(problem, iters=4, cg_iters=8)
+    b = ba.solve(problem, iters=4, cg_iters=8, loss="l2")
+    np.testing.assert_array_equal(np.asarray(a.poses), np.asarray(b.poses))
+    np.testing.assert_array_equal(np.asarray(a.points), np.asarray(b.points))
+
+
+def test_sharded_huber_matches_single_device(rng):
+    problem, _, _ = make_problem(rng, n_cams=4, n_pts=64, perturb=0.03)  # N=256
+    uv = np.asarray(problem.uv).copy()
+    bad = rng.choice(uv.shape[0], size=8, replace=False)
+    uv[bad] += 100.0
+    problem = problem._replace(uv=jnp.asarray(uv))
+    m = mesh_mod.make_mesh(data=8, tile=1)
+    s1 = ba.solve(problem, iters=4, cg_iters=8, loss="huber", loss_delta=4.0)
+    s2 = ba.solve_sharded(problem, m, iters=4, cg_iters=8, loss="huber", loss_delta=4.0)
+    np.testing.assert_allclose(
+        np.asarray(s1.poses), np.asarray(s2.poses), atol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(s1.points), np.asarray(s2.points), atol=5e-3
+    )
