@@ -36,25 +36,48 @@ def edge_residuals(graph: PoseGraph, poses: jax.Array) -> jax.Array:
     return err * graph.weights[:, None]
 
 
-@partial(jax.jit, static_argnames=("iters", "fix_first"))
+@partial(jax.jit, static_argnames=("iters", "fix_first", "loss"))
 def optimize(
     graph: PoseGraph,
     iters: int = 10,
     damping: float = 1e-4,
     fix_first: bool = True,
+    loss: str = "l2",
+    loss_delta: float = 0.1,
 ) -> jax.Array:
     """Damped Gauss–Newton; returns optimized poses f32[M, 6]. Node 0 is frozen
-    when ``fix_first`` (gauge)."""
+    when ``fix_first`` (gauge).
+
+    ``loss``: ``"l2"`` (default), ``"huber"`` or ``"cauchy"`` with tangent-space
+    scale ``loss_delta`` — IRLS edge reweighting per GN step, the standard
+    defense against FALSE LOOP CLOSURES: a wrong closure edge under l2 warps
+    the whole trajectory; under a robust loss its influence is bounded
+    (huber) or redescends to ~0 (cauchy)
+    (tests/test_fusion_geometry.py::test_posegraph_robust_to_false_closure)."""
     m = graph.poses.shape[0]
     dim = m * 6
 
-    def res_flat(pose_flat):
-        return edge_residuals(graph, pose_flat.reshape(m, 6)).reshape(-1)
+    def res_flat(pose_flat, g):
+        return edge_residuals(g, pose_flat.reshape(m, 6)).reshape(-1)
 
     def gn_body(k, poses):
+        if loss == "l2":
+            g = graph
+        else:
+            rw = edge_residuals(graph, poses)  # weighted [E, 6]
+            s = jnp.sqrt(jnp.sum(rw * rw, axis=-1) + 1e-12)
+            if loss == "huber":
+                omega = jnp.minimum(1.0, loss_delta / s)
+            elif loss == "cauchy":
+                omega = 1.0 / (1.0 + (s / loss_delta) ** 2)
+            else:
+                raise ValueError(
+                    f"loss must be 'l2', 'huber' or 'cauchy', got {loss!r}"
+                )
+            g = graph._replace(weights=graph.weights * jnp.sqrt(omega))
         flat = poses.reshape(-1)
-        r = res_flat(flat)
-        J = jax.jacfwd(res_flat)(flat)  # [E*6, M*6]
+        r = res_flat(flat, g)
+        J = jax.jacfwd(lambda p: res_flat(p, g))(flat)  # [E*6, M*6]
         if fix_first:
             mask = jnp.concatenate(
                 [jnp.zeros(6, J.dtype), jnp.ones(dim - 6, J.dtype)]

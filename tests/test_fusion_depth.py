@@ -86,3 +86,53 @@ def test_fuse_depths_empty_inputs():
     )
     assert (np.asarray(fused.depth) == 0).all()
     assert (np.asarray(fused.confidence) == 0).all()
+
+
+def test_posegraph_robust_to_false_closure(rng):
+    """A FALSE loop-closure edge (wrong relative pose, normal weight): under
+    l2 it warps the whole trajectory; under cauchy its influence redescends
+    to ~0 and the chain relaxes to ground truth anyway."""
+    m = 6
+    gt = []
+    for i in range(m):
+        gt.append(
+            np.concatenate(
+                [rng.normal(0, 0.1, 3), np.array([i * 1.0, 0.0, 0.0])]
+            ).astype(np.float32)
+        )
+    gt = jnp.asarray(np.stack(gt))
+
+    ei, ej, meas = [], [], []
+    for i in range(m - 1):  # odometry chain (true)
+        ei.append(i), ej.append(i + 1)
+        meas.append(geo.relative(gt[i], gt[i + 1]))
+    ei.append(0), ej.append(m - 1)  # true loop closure
+    meas.append(geo.relative(gt[0], gt[m - 1]))
+    ei.append(1), ej.append(4)  # FALSE closure: claims node 4 sits at node 1+1m
+    meas.append(jnp.asarray(np.array([0, 0, 0, 1.0, 0, 0], np.float32)))
+
+    noisy = np.asarray(gt) + rng.normal(0, 0.03, (m, 6)).astype(np.float32)
+    noisy[0] = np.asarray(gt[0])
+    graph = posegraph.PoseGraph(
+        poses=jnp.asarray(noisy),
+        edge_i=jnp.asarray(ei, jnp.int32),
+        edge_j=jnp.asarray(ej, jnp.int32),
+        measurements=jnp.stack(meas),
+        weights=jnp.ones(len(ei), jnp.float32),
+    )
+    opt_l2 = posegraph.optimize(graph, iters=20)
+    opt_cau = posegraph.optimize(graph, iters=20, loss="cauchy", loss_delta=0.1)
+    opt_hub = posegraph.optimize(graph, iters=20, loss="huber", loss_delta=0.1)
+    e_l2 = float(np.abs(np.asarray(opt_l2) - np.asarray(gt)).max())
+    e_cau = float(np.abs(np.asarray(opt_cau) - np.asarray(gt)).max())
+    e_hub = float(np.abs(np.asarray(opt_hub) - np.asarray(gt)).max())
+    # the false edge demands node 4 move ~2m; l2 splits the error across the
+    # trajectory, cauchy suppresses the edge entirely
+    assert e_l2 > 0.2, e_l2
+    assert e_cau < 0.02, e_cau
+    assert e_hub < e_l2 * 0.5, (e_hub, e_l2)
+
+    # l2 path unchanged by the loss plumbing (bitwise)
+    a = posegraph.optimize(graph, iters=5)
+    b = posegraph.optimize(graph, iters=5, loss="l2")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
