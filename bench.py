@@ -428,6 +428,26 @@ def bench_extra():
         file=sys.stderr,
     )
 
+    # --- honest CPU baseline for the SGM accuracy backend --------------------
+    try:
+        from stepth_tpu import native as native_sgm_mod
+
+        if native_sgm_mod.available():
+            t0 = time.perf_counter()
+            native_sgm_mod.sgm_disparity(
+                l1, r1, num_disparities=64, window=5, directions=4,
+                lr_threshold=1.0, n_threads=8,
+            )
+            per = time.perf_counter() - t0
+            print(
+                f"[bench-extra] native C++ SGM 1080p D=64 4-dir (8 threads):"
+                f" {per:.2f} s/frame -> {1/per:.3f} fps (bit-identical"
+                f" pipeline; the Pallas backend's honest CPU baseline)",
+                file=sys.stderr,
+            )
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench-extra] native SGM skipped: {e}", file=sys.stderr)
+
     # --- config 1 workload on the native C++ host engine ---------------------
     try:
         from stepth_tpu import native

@@ -55,6 +55,14 @@ def _build() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p,
     ]
+    lib.stepth_sgm_disparity.restype = ctypes.c_int
+    lib.stepth_sgm_disparity.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.c_float, ctypes.c_int, ctypes.c_float,
+        ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p,
+    ]
     lib.stepth_hier_disparity.restype = ctypes.c_int
     lib.stepth_hier_disparity.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p,
@@ -168,3 +176,41 @@ def hier_disparity(
     if rc != 0:
         raise RuntimeError(f"stepth_hier_disparity failed rc={rc}")
     return out
+
+
+def sgm_disparity(
+    left: np.ndarray,
+    right: np.ndarray,
+    num_disparities: int = 64,
+    window: int = 5,
+    p1: float = 8.0,
+    p2: float = 32.0,
+    directions: int = 4,
+    lr_threshold: Optional[float] = 1.0,
+    subpixel: bool = True,
+    n_threads: int = 8,
+):
+    """Multithreaded C++ SGM — the accuracy backend's honest CPU baseline
+    (same pipeline as stepth_tpu/match/sgm.py::match_pair_sgm). On u8-valued
+    gray inputs the outputs are bit-identical to the XLA backend (every
+    intermediate is an exact small integer in f32; tests/test_native.py).
+    Returns (disparity f32[H,W], valid bool[H,W])."""
+    lib = _get()
+    if lib is None:
+        raise RuntimeError(f"native engine unavailable: {_build_error}")
+    left = np.ascontiguousarray(left, dtype=np.float32)
+    right = np.ascontiguousarray(right, dtype=np.float32)
+    h, w = left.shape
+    disp = np.empty((h, w), dtype=np.float32)
+    valid = np.empty((h, w), dtype=np.uint8)
+    rc = lib.stepth_sgm_disparity(
+        left.ctypes.data, right.ctypes.data, h, w,
+        int(num_disparities), int(window),
+        float(p1), float(p2), int(directions),
+        -1.0 if lr_threshold is None else float(lr_threshold),
+        1 if subpixel else 0, int(n_threads),
+        disp.ctypes.data, valid.ctypes.data,
+    )
+    if rc != 0:
+        raise RuntimeError(f"stepth_sgm_disparity failed rc={rc}")
+    return disp, valid.astype(bool)

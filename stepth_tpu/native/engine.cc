@@ -16,6 +16,7 @@
 //     max-normalization and Gaussian resize (both applied by the Python
 //     caller so the exact Q15 resampler is shared with the JAX path).
 
+#include <algorithm>
 #include <atomic>
 #include <cmath>
 #include <cstdint>
@@ -411,6 +412,276 @@ int stepth_raw_disparity(const uint8_t* main_rgb, const uint8_t* add_rgb,
   for (auto& th : pool) th.join();
 
   for (int64_t p = 0; p < npix; ++p) out_raw[p] = dists[size_t(block_of[p])];
+  return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Semi-global matching (the accuracy backend's honest CPU baseline; same
+// pipeline as stepth_tpu/match/sgm.py::match_pair_sgm). On u8-valued gray
+// inputs every intermediate is an exact small integer in f32 (costs <= 255,
+// box sums <= 255*window^2, path costs bounded by the min-normalized
+// recurrence), so outputs are BIT-IDENTICAL to the XLA backend (tested).
+// Threading: horizontal scans rows-parallel, vertical scans
+// column-band-parallel (columns independent at shift 0); the 8-dir mode's
+// diagonal scans carry state across columns and run single-threaded.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// One SGM recurrence step for a [w, D] carry row against cost row c.
+// prev_row: carry at the predecessor scan position (already the previous
+// step's L); lateral shift handled by the caller via prev indexing.
+static inline void sgm_step_row(const float* prev, const float* c, float* out,
+                                int wlen, int D, float p1, float p2,
+                                int shift) {
+  for (int t = 0; t < wlen; ++t) {
+    const float* pr = nullptr;
+    const int ts = t - shift;  // dir_step: shifted-in positions start fresh
+    bool fresh = (ts < 0 || ts >= wlen);
+    if (!fresh) pr = prev + size_t(ts) * D;
+    float min_l = 0.0f;
+    if (!fresh) {
+      min_l = pr[0];
+      for (int d = 1; d < D; ++d)
+        if (pr[d] < min_l) min_l = pr[d];
+    }
+    const float* cr = c + size_t(t) * D;
+    float* o = out + size_t(t) * D;
+    if (fresh) {  // zero carry: min(0, p1, p2) - 0 = 0 => L = C
+      for (int d = 0; d < D; ++d) o[d] = cr[d];
+      continue;
+    }
+    for (int d = 0; d < D; ++d) {
+      float cand = pr[d];
+      if (d > 0 && pr[d - 1] + p1 < cand) cand = pr[d - 1] + p1;
+      if (d + 1 < D && pr[d + 1] + p1 < cand) cand = pr[d + 1] + p1;
+      if (min_l + p2 < cand) cand = min_l + p2;
+      o[d] = cr[d] + cand - min_l;
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Full SGM disparity on f32 gray images (layout [h][w], vol/agg [h][w][D]).
+// p1/p2 are the per-pixel-cost penalties (scaled by window^2 internally when
+// window > 1, mirroring match_pair_sgm). directions in {2, 4, 8};
+// lr_threshold < 0 disables the LR check. out_disp f32[h*w]; out_valid
+// u8[h*w]. Returns 0 on success.
+int stepth_sgm_disparity(const float* left, const float* right, int h, int w,
+                         int D, int window, float p1, float p2, int directions,
+                         float lr_threshold, int subpixel, int n_threads,
+                         float* out_disp, uint8_t* out_valid) {
+  if (h <= 0 || w <= 0 || D <= 0) return 1;
+  if (directions != 2 && directions != 4 && directions != 8) return 2;
+  if (n_threads <= 0) n_threads = 8;
+  const int r = window / 2;
+  const float scale = window > 1 ? float(window) * float(window) : 1.0f;
+  const float p1s = p1 * scale, p2s = p2 * scale;
+  const size_t n = size_t(h) * w;
+
+  // cost volume, box-aggregated per disparity plane ([h][w][D], D innermost)
+  std::vector<float> vol(n * D), plane(n), tmp(n), aggp(n);
+  for (int d = 0; d < D; ++d) {
+    run_threads(n_threads, [&](int t) {
+      for (int y = t; y < h; y += n_threads)
+        for (int x = 0; x < w; ++x) {
+          int xs = x - d; if (xs < 0) xs = 0;  // edge replicate (dense._shift_right_image)
+          plane[size_t(y) * w + x] =
+              std::fabs(left[size_t(y) * w + x] - right[size_t(y) * w + xs]);
+        }
+    });
+    const float* src = plane.data();
+    if (window > 1) {
+      box_sum_plane(plane.data(), tmp.data(), aggp.data(), h, w, r, n_threads);
+      src = aggp.data();
+    }
+    run_threads(n_threads, [&](int t) {
+      for (size_t p = t; p < n; p += size_t(n_threads)) vol[p * D + d] = src[p];
+    });
+  }
+
+  std::vector<float> agg(n * D, 0.0f);
+  std::vector<float> carry(size_t(std::max(h, w)) * D);
+  std::vector<float> next(size_t(std::max(h, w)) * D);
+
+  // horizontal scans: per-row [D] carries, rows fully parallel
+  for (int rev = 0; rev < 2; ++rev) {
+    run_threads(n_threads, [&](int t) {
+      std::vector<float> cr(D), nx(D);
+      for (int y = t; y < h; y += n_threads) {
+        bool first = true;
+        for (int i = 0; i < w; ++i) {
+          const int x = rev ? (w - 1 - i) : i;
+          const float* c = &vol[(size_t(y) * w + x) * D];
+          float* L = &agg[(size_t(y) * w + x) * D];
+          if (first) {
+            for (int d = 0; d < D; ++d) { nx[d] = c[d]; L[d] += c[d]; }
+            first = false;
+          } else {
+            sgm_step_row(cr.data(), c, nx.data(), 1, D, p1s, p2s, 0);
+            for (int d = 0; d < D; ++d) L[d] += nx[d];
+          }
+          cr.swap(nx);
+        }
+      }
+    });
+  }
+
+  // vertical scans: [w][D] carry rows; columns independent -> band-parallel
+  if (directions >= 4) {
+    const int band = (w + n_threads - 1) / n_threads;
+    for (int rev = 0; rev < 2; ++rev) {
+      run_threads(n_threads, [&](int t) {
+        const int x0 = t * band, x1 = x0 + band < w ? x0 + band : w;
+        if (x0 >= x1) return;
+        std::vector<float> cr(size_t(x1 - x0) * D), nx(size_t(x1 - x0) * D);
+        bool first = true;
+        for (int i = 0; i < h; ++i) {
+          const int y = rev ? (h - 1 - i) : i;
+          const float* c = &vol[(size_t(y) * w + x0) * D];
+          float* L = &agg[(size_t(y) * w + x0) * D];
+          if (first) {
+            for (size_t k = 0; k < size_t(x1 - x0) * D; ++k) {
+              nx[k] = c[k]; L[k] += c[k];
+            }
+            first = false;
+          } else {
+            sgm_step_row(cr.data(), c, nx.data(), x1 - x0, D, p1s, p2s, 0);
+            for (size_t k = 0; k < size_t(x1 - x0) * D; ++k) L[k] += nx[k];
+          }
+          cr.swap(nx);
+        }
+      });
+    }
+  }
+
+  // diagonal scans (8-dir): carry shifts one column per row-step; serial
+  if (directions == 8) {
+    for (int pass = 0; pass < 4; ++pass) {
+      const bool rev = pass >= 2;                    // XLA order: ++, +-, -+, --
+      const int shift = (pass % 2 == 0) ? 1 : -1;
+      bool first = true;
+      for (int i = 0; i < h; ++i) {
+        const int y = rev ? (h - 1 - i) : i;
+        const float* c = &vol[size_t(y) * w * D];
+        float* L = &agg[size_t(y) * w * D];
+        if (first) {
+          for (size_t k = 0; k < size_t(w) * D; ++k) { next[k] = c[k]; L[k] += c[k]; }
+          first = false;
+        } else {
+          sgm_step_row(carry.data(), c, next.data(), w, D, p1s, p2s, shift);
+          for (size_t k = 0; k < size_t(w) * D; ++k) L[k] += next[k];
+        }
+        carry.swap(next);
+      }
+    }
+  }
+
+  // WTA + parabolic subpixel (dense.wta), right-view WTA + LR + fill + median
+  std::vector<float> disp(n), dr;
+  std::vector<uint8_t> valid(n, 1);
+  run_threads(n_threads, [&](int t) {
+    for (size_t p = t; p < n; p += size_t(n_threads)) {
+      const float* a = &agg[p * D];
+      int best = 0;
+      for (int d = 1; d < D; ++d)
+        if (a[d] < a[best]) best = d;  // first minimum, like jnp.argmin
+      float dv = float(best);
+      if (subpixel && D >= 3) {
+        int bm = best < 1 ? 1 : (best > D - 2 ? D - 2 : best);
+        const float cm1 = a[bm - 1], c0 = a[bm], cp1 = a[bm + 1];
+        const float denom = cm1 - 2.0f * c0 + cp1;
+        float delta = std::fabs(denom) > 1e-6f ? (cm1 - cp1) / (2.0f * denom) : 0.0f;
+        if (delta < -0.5f) delta = -0.5f;
+        if (delta > 0.5f) delta = 0.5f;
+        if (best >= 1 && best <= D - 2) dv = float(bm) + delta;
+      }
+      disp[p] = dv;
+    }
+  });
+
+  if (lr_threshold >= 0.0f) {
+    dr.resize(n);
+    run_threads(n_threads, [&](int t) {
+      for (int y = t; y < h; y += n_threads)
+        for (int x = 0; x < w; ++x) {
+          int best = 0; float bc = 1e30f; bool any = false;
+          for (int d = 0; d < D; ++d) {
+            if (x + d >= w) continue;  // inf-padded in the XLA formulation
+            const float c = agg[(size_t(y) * w + x + d) * D + d];
+            if (!any || c < bc) { bc = c; best = d; any = true; }
+          }
+          dr[size_t(y) * w + x] = float(best);  // argmin of all-inf row is 0
+        }
+    });
+    run_threads(n_threads, [&](int t) {
+      for (int y = t; y < h; y += n_threads)
+        for (int x = 0; x < w; ++x) {
+          const size_t p = size_t(y) * w + x;
+          const float dl = disp[p];
+          float xr = std::nearbyintf(float(x) - dl);  // round-half-even
+          if (xr < 0.0f) xr = 0.0f;
+          if (xr > float(w - 1)) xr = float(w - 1);
+          bool ok = false;
+          for (int s = 0; s < D && !ok; ++s) {
+            float xs = float(x - s);
+            if (xs < 0.0f) xs = 0.0f;
+            if (xs > float(w - 1)) xs = float(w - 1);
+            if (xr != xs) continue;
+            const int col = x - s < 0 ? 0 : x - s;  // edge pad on the left
+            if (std::fabs(dl - dr[size_t(y) * w + col]) <= lr_threshold) ok = true;
+          }
+          valid[p] = ok ? 1 : 0;
+        }
+    });
+  }
+
+  // occlusion fill: nearer (smaller) of nearest valid left/right per scanline
+  std::vector<float> filled(disp);
+  run_threads(n_threads, [&](int t) {
+    std::vector<float> lf(w), rf(w);
+    for (int y = t; y < h; y += n_threads) {
+      const size_t row = size_t(y) * w;
+      float last = 1e30f; bool has = false;
+      for (int x = 0; x < w; ++x) {
+        if (valid[row + x]) { last = disp[row + x]; has = true; }
+        lf[x] = has ? last : 1e30f;
+      }
+      last = 1e30f; has = false;
+      for (int x = w - 1; x >= 0; --x) {
+        if (valid[row + x]) { last = disp[row + x]; has = true; }
+        rf[x] = has ? last : 1e30f;
+      }
+      for (int x = 0; x < w; ++x) {
+        if (valid[row + x]) continue;
+        float f = lf[x] < rf[x] ? lf[x] : rf[x];
+        filled[row + x] = f < 1e30f ? f : 0.0f;
+      }
+    }
+  });
+
+  // 3x3 median, edge-padded
+  run_threads(n_threads, [&](int t) {
+    float win[9];
+    for (int y = t; y < h; y += n_threads)
+      for (int x = 0; x < w; ++x) {
+        int k = 0;
+        for (int dy = -1; dy <= 1; ++dy)
+          for (int dx = -1; dx <= 1; ++dx) {
+            int yy = y + dy; if (yy < 0) yy = 0; if (yy >= h) yy = h - 1;
+            int xx = x + dx; if (xx < 0) xx = 0; if (xx >= w) xx = w - 1;
+            win[k++] = filled[size_t(yy) * w + xx];
+          }
+        std::nth_element(win, win + 4, win + 9);
+        out_disp[size_t(y) * w + x] = win[4];
+      }
+  });
+  std::memcpy(out_valid, valid.data(), n);
   return 0;
 }
 

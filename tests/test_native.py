@@ -79,3 +79,36 @@ def test_hier_disparity_recovers_shift():
     np.testing.assert_array_equal(d1, d8)
     interior = d1[20:-20, 40:-40]
     assert abs(float(np.median(interior)) - 6.0) <= 1.0
+
+
+def test_sgm_disparity_bit_equal_to_xla(rng):
+    """C++ SGM == XLA SGM bit-for-bit on u8-valued gray inputs: every
+    intermediate (SAD cost <= 255, box sums, min-normalized path costs,
+    integer penalties) is an exact small integer in f32, so the two
+    implementations' floats are identical despite different summation
+    machinery. Covers 2/4/8 directions, LR validity, subpixel, fill, median."""
+    from stepth_tpu.config import MatchConfig
+    from stepth_tpu.match import sgm
+
+    h, w, shift = 48, 96, 5
+    left = rng.integers(0, 256, (h, w)).astype(np.float32)
+    right = np.roll(left, -shift, axis=1).astype(np.float32)
+    for dirs in (2, 4, 8):
+        cfg = MatchConfig(num_disparities=16, window=5, lr_threshold=1.0)
+        sc = sgm.SGMConfig(directions=dirs)
+        ref = sgm.match_pair_sgm(left, right, cfg, sc)
+        disp, valid = native.sgm_disparity(
+            left, right, num_disparities=16, window=5, p1=sc.p1, p2=sc.p2,
+            directions=dirs, lr_threshold=1.0,
+        )
+        np.testing.assert_array_equal(disp, np.asarray(ref.disparity))
+        np.testing.assert_array_equal(valid, np.asarray(ref.valid))
+
+
+def test_sgm_disparity_thread_invariant(rng):
+    left = rng.integers(0, 256, (40, 64)).astype(np.float32)
+    right = np.roll(left, -4, axis=1).astype(np.float32)
+    a = native.sgm_disparity(left, right, num_disparities=8, n_threads=1)
+    b = native.sgm_disparity(left, right, num_disparities=8, n_threads=8)
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_array_equal(a[1], b[1])
