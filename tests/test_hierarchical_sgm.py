@@ -193,3 +193,25 @@ def test_sharded_hierarchical_sgm_via_model(rng):
     res = run(left, right)
     err = np.abs(np.asarray(interior(res.disparity, 16)) - shift)
     assert np.median(err) <= 1.0
+
+
+def test_hierarchical_sgm_batched(rng):
+    """One-dispatch serving path works for the hybrid backend and equals
+    the per-frame results."""
+    import jax
+
+    model = StereoModel(
+        backend="hierarchical-sgm",
+        match=MatchConfig(num_disparities=16, window=5),
+        pyramid=PyramidConfig(levels=2, refine_radius=2, coarsest_disparities=8),
+    )
+    pairs = [make_pair(rng, h=32, w=128, shift=s) for s in (3, 5)]
+    lefts = jnp.stack([jnp.asarray(l) for l, _ in pairs])
+    rights = jnp.stack([jnp.asarray(r) for _, r in pairs])
+    out = jax.jit(model.batched())(lefts, rights)
+    assert out.disparity.shape == (2, 32, 128)
+    for i, (l, r) in enumerate(pairs):
+        ref = model(l, r)
+        np.testing.assert_array_equal(
+            np.asarray(out.disparity[i]), np.asarray(ref.disparity)
+        )
