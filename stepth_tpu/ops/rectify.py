@@ -1,0 +1,155 @@
+"""Stereo rectification (calibrated, pinhole): map a general two-view rig to
+the row-aligned geometry every matcher in :mod:`stepth_tpu.match` assumes.
+
+Greenfield convenience — the reference pipeline matches unrectified views by
+brute-force ring search (reference src/helpers.rs:9-54); the production
+matchers here search along epipolar lines, which requires them horizontal.
+
+Algorithm: Fusiello/Trucco/Verri's compact rectification. Given
+``x_cam2 = R · x_cam1 + T`` and intrinsics K1/K2, build one rectified frame
+whose x-axis is the baseline; each view's rectifying homography is
+``H_i = (K_new · R_new) · (K_i · R_i)⁻¹`` (R_1 = I, R_2 = R). Outputs are
+inverse sample maps (output pixel → source pixel) for bilinear remapping, so
+warping is a single gather pass — precompute the maps once per rig, remap
+per frame.
+
+On-device note: ``remap_bilinear`` uses ``map_coordinates`` (XLA gather).
+Gathers route through the TPU scalar core, so remap on-TPU is not a hot-path
+op — precompute maps on host, or remap on CPU alongside decode (the maps are
+rig-constant; this is the standard camera-ISP split). The *matchers* stay on
+the fast path.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class RectifyMaps(NamedTuple):
+    """Inverse sample maps and the rectified-rig constants."""
+
+    map_left: jax.Array  # f32[H, W, 2] — (x, y) source coords in the left image
+    map_right: jax.Array  # f32[H, W, 2]
+    focal: jax.Array  # scalar — rectified focal (px)
+    baseline: jax.Array  # scalar — rectified baseline (world units)
+    K_new: jax.Array  # f32[3, 3] shared rectified intrinsics
+
+
+def _normalize(v):
+    return v / jnp.linalg.norm(v)
+
+
+def rectify_maps(
+    K1,
+    K2,
+    R,
+    T,
+    image_shape: Tuple[int, int],
+    K_new: Optional[jax.Array] = None,
+) -> RectifyMaps:
+    """Rectification maps for a calibrated rig.
+
+    ``K1``/``K2``: f32[3,3] pinhole intrinsics. ``R`` f32[3,3], ``T`` f32[3]:
+    the relative pose, ``x_cam2 = R · x_cam1 + T``. ``image_shape``: (H, W) of
+    the rectified output. ``K_new``: shared rectified intrinsics (defaults to
+    K1 with zero skew).
+
+    After ``remap_bilinear(left, maps.map_left)`` / (right, map_right), a
+    world point projects to the same row in both outputs (the epipolar
+    property — tested analytically in tests/test_rectify.py), with disparity
+    ``d = focal · baseline / Z_rect``.
+    """
+    K1 = jnp.asarray(K1, jnp.float32)
+    K2 = jnp.asarray(K2, jnp.float32)
+    R = jnp.asarray(R, jnp.float32)
+    T = jnp.asarray(T, jnp.float32).reshape(3)
+    h, w = image_shape
+
+    # optical centers in cam1's frame: c1 = 0, c2 = −Rᵀ T
+    c2 = -R.T @ T
+    # rectified axes (rows of R_new): x along the baseline, y ⟂ old z, z = x×y
+    v1 = _normalize(c2)
+    old_z = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
+    v2 = _normalize(jnp.cross(old_z, v1))
+    v3 = jnp.cross(v1, v2)
+    R_new = jnp.stack([v1, v2, v3])
+
+    if K_new is None:
+        K_new = K1.at[0, 1].set(0.0)
+    K_new = jnp.asarray(K_new, jnp.float32)
+
+    # inverse homographies: output pixel → source pixel
+    A_new = K_new @ R_new
+    H1_inv = K1 @ jnp.linalg.inv(A_new)  # (K1·I) · (K_new·R_new)⁻¹
+    H2_inv = (K2 @ R) @ jnp.linalg.inv(A_new)
+
+    xx, yy = jnp.meshgrid(
+        jnp.arange(w, dtype=jnp.float32), jnp.arange(h, dtype=jnp.float32)
+    )
+    ones = jnp.ones_like(xx)
+    p = jnp.stack([xx, yy, ones], axis=-1)  # [H, W, 3]
+
+    def apply_h(Hi):
+        q = jnp.einsum("ij,hwj->hwi", Hi, p)
+        return q[..., :2] / q[..., 2:3]
+
+    return RectifyMaps(
+        map_left=apply_h(H1_inv),
+        map_right=apply_h(H2_inv),
+        focal=K_new[0, 0],
+        baseline=jnp.linalg.norm(c2),
+        K_new=K_new,
+    )
+
+
+def remap_bilinear(img, map_xy, fill: float = 0.0) -> jax.Array:
+    """Bilinear sample ``img`` ([H,W] or [H,W,C]) at ``map_xy`` [H',W',2]
+    (x, y source coordinates); out-of-image samples get ``fill``."""
+    from jax.scipy.ndimage import map_coordinates
+
+    img = jnp.asarray(img, jnp.float32)
+    x = map_xy[..., 0]
+    y = map_xy[..., 1]
+    h, w = img.shape[0], img.shape[1]
+    inb = (x >= 0) & (x <= w - 1) & (y >= 0) & (y <= h - 1)
+
+    def one(plane):
+        out = map_coordinates(plane, [y, x], order=1, mode="nearest")
+        return jnp.where(inb, out, fill)
+
+    if img.ndim == 2:
+        return one(img)
+    return jnp.stack([one(img[..., c]) for c in range(img.shape[-1])], axis=-1)
+
+
+def rectify_pair(left, right, maps: RectifyMaps):
+    """Warp both views into the rectified frame (bilinear)."""
+    return (
+        remap_bilinear(left, maps.map_left),
+        remap_bilinear(right, maps.map_right),
+    )
+
+
+def project_rectified(pts_cam1, maps: RectifyMaps, R, T):
+    """Project cam1-frame points through both *rectified* cameras; returns
+    (uv1, uv2) f32[...,2]. Row coordinates are equal by construction — the
+    test oracle for the epipolar property."""
+    R = jnp.asarray(R, jnp.float32)
+    T = jnp.asarray(T, jnp.float32).reshape(3)
+    c2 = -R.T @ T
+    v1 = _normalize(c2)
+    old_z = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
+    v2 = _normalize(jnp.cross(old_z, v1))
+    v3 = jnp.cross(v1, v2)
+    R_new = jnp.stack([v1, v2, v3])
+
+    def proj(x):
+        q = jnp.einsum("ij,...j->...i", maps.K_new, x)
+        return q[..., :2] / q[..., 2:3]
+
+    x1 = jnp.einsum("ij,...j->...i", R_new, pts_cam1)
+    x2 = jnp.einsum("ij,...j->...i", R_new, pts_cam1 - c2)
+    return proj(x1), proj(x2)
