@@ -42,6 +42,22 @@ def _normalize(v):
     return v / jnp.linalg.norm(v)
 
 
+def distort_normalized(xn, dist) -> jax.Array:
+    """Brown–Conrady forward distortion on normalized coords ``xn`` [..., 2];
+    ``dist`` = (k1, k2, p1, p2[, k3]). The rectification maps need only this
+    forward model (output pixel → distorted source pixel) — no iterative
+    undistortion anywhere."""
+    d = jnp.asarray(dist, jnp.float32).reshape(-1)
+    k1, k2, p1, p2 = d[0], d[1], d[2], d[3]
+    k3 = d[4] if d.shape[0] > 4 else jnp.float32(0.0)
+    x, y = xn[..., 0], xn[..., 1]
+    r2 = x * x + y * y
+    radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+    xd = x * radial + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+    yd = y * radial + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+    return jnp.stack([xd, yd], axis=-1)
+
+
 def rectify_maps(
     K1,
     K2,
@@ -49,13 +65,17 @@ def rectify_maps(
     T,
     image_shape: Tuple[int, int],
     K_new: Optional[jax.Array] = None,
+    dist1=None,
+    dist2=None,
 ) -> RectifyMaps:
     """Rectification maps for a calibrated rig.
 
     ``K1``/``K2``: f32[3,3] pinhole intrinsics. ``R`` f32[3,3], ``T`` f32[3]:
     the relative pose, ``x_cam2 = R · x_cam1 + T``. ``image_shape``: (H, W) of
     the rectified output. ``K_new``: shared rectified intrinsics (defaults to
-    K1 with zero skew).
+    K1 with zero skew). ``dist1``/``dist2``: optional Brown–Conrady lens
+    distortion (k1, k2, p1, p2[, k3]) per source camera — folded into the
+    sample maps (rectify + undistort in the same single remap).
 
     After ``remap_bilinear(left, maps.map_left)`` / (right, map_right), a
     world point projects to the same row in both outputs (the epipolar
@@ -81,10 +101,8 @@ def rectify_maps(
         K_new = K1.at[0, 1].set(0.0)
     K_new = jnp.asarray(K_new, jnp.float32)
 
-    # inverse homographies: output pixel → source pixel
-    A_new = K_new @ R_new
-    H1_inv = K1 @ jnp.linalg.inv(A_new)  # (K1·I) · (K_new·R_new)⁻¹
-    H2_inv = (K2 @ R) @ jnp.linalg.inv(A_new)
+    # output pixel → rectified-frame ray → source-camera ray → (distort) → px
+    A_new_inv = jnp.linalg.inv(K_new @ R_new)
 
     xx, yy = jnp.meshgrid(
         jnp.arange(w, dtype=jnp.float32), jnp.arange(h, dtype=jnp.float32)
@@ -92,13 +110,22 @@ def rectify_maps(
     ones = jnp.ones_like(xx)
     p = jnp.stack([xx, yy, ones], axis=-1)  # [H, W, 3]
 
-    def apply_h(Hi):
-        q = jnp.einsum("ij,hwj->hwi", Hi, p)
-        return q[..., :2] / q[..., 2:3]
+    def src_map(Ki, Ri, dist):
+        q = jnp.einsum("ij,hwj->hwi", Ri @ A_new_inv, p)
+        xn = q[..., :2] / q[..., 2:3]
+        if dist is not None:
+            xn = distort_normalized(xn, dist)
+        uvw = jnp.einsum(
+            "ij,hwj->hwi",
+            Ki,
+            jnp.concatenate([xn, jnp.ones_like(xn[..., :1])], axis=-1),
+        )
+        return uvw[..., :2]
 
+    eye = jnp.eye(3, dtype=jnp.float32)
     return RectifyMaps(
-        map_left=apply_h(H1_inv),
-        map_right=apply_h(H2_inv),
+        map_left=src_map(K1, eye, dist1),
+        map_right=src_map(K2, R, dist2),
         focal=K_new[0, 0],
         baseline=jnp.linalg.norm(c2),
         K_new=K_new,

@@ -131,3 +131,45 @@ def test_rectify_then_match_recovers_depth(rng):
     z_rect = pts @ v3
     expect = float(maps.focal) * float(maps.baseline) / z_rect
     assert abs(np.median(interior) - np.median(expect)) <= 0.5
+
+
+def test_distortion_folded_into_maps(rng):
+    """With lens distortion: for random 3-D points, the map sampled at the
+    point's rectified pixel returns the point's *distorted* source pixel —
+    i.e. one remap both undistorts and rectifies."""
+    from jax.scipy.ndimage import map_coordinates
+
+    R = _rot("y", 2.5).astype(np.float32)
+    T = np.array([-0.5, 0.02, 0.0], np.float32)
+    dist1 = np.array([-0.12, 0.03, 0.001, -0.0005], np.float32)
+    dist2 = np.array([-0.08, 0.02, -0.0008, 0.0004], np.float32)
+    maps = rectify.rectify_maps(K, K, R, T, (128, 192), dist1=dist1, dist2=dist2)
+
+    pts = rng.uniform(-0.5, 0.5, (200, 3)).astype(np.float32)
+    pts[:, 2] += 6.0
+    uv1, uv2 = rectify.project_rectified(jnp.asarray(pts), maps, R, T)
+
+    def distorted_px(X_cam, Kmat, dist):
+        xn = X_cam[:, :2] / X_cam[:, 2:3]
+        xd = np.asarray(rectify.distort_normalized(jnp.asarray(xn), dist))
+        return xd * np.array([Kmat[0, 0], Kmat[1, 1]]) + np.array(
+            [Kmat[0, 2], Kmat[1, 2]]
+        )
+
+    exp1 = distorted_px(pts, K, dist1)
+    exp2 = distorted_px(pts @ R.T + T, K, dist2)
+
+    for m, uv, exp in ((maps.map_left, uv1, exp1), (maps.map_right, uv2, exp2)):
+        uv = np.asarray(uv)
+        inb = (
+            (uv[:, 0] > 1) & (uv[:, 0] < 190) & (uv[:, 1] > 1) & (uv[:, 1] < 126)
+        )
+        got_x = np.asarray(
+            map_coordinates(m[..., 0], [uv[inb, 1], uv[inb, 0]], order=1)
+        )
+        got_y = np.asarray(
+            map_coordinates(m[..., 1], [uv[inb, 1], uv[inb, 0]], order=1)
+        )
+        assert inb.sum() > 100
+        np.testing.assert_allclose(got_x, exp[inb, 0], atol=0.05)
+        np.testing.assert_allclose(got_y, exp[inb, 1], atol=0.05)
