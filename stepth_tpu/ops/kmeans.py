@@ -54,7 +54,11 @@ def _lloyd_step(hist: jnp.ndarray, centers: jnp.ndarray) -> jnp.ndarray:
     sums = ((hist * bins).astype(jnp.int32)[:, None] * onehot).sum(axis=0)
     means = sums // jnp.maximum(counts, 1)  # empty cluster -> 0 (reference :187)
     new_centers = jnp.where(active, means, _SENTINEL)
-    return _dedupe_sorted(new_centers)
+    # means are NOT monotone in slot order (an emptied cluster maps to 0, and
+    # updates can reorder/collide centers); sort before the adjacent-dedupe or
+    # equal centers fail to merge (found by hypothesis: depth {0,5,11,27},
+    # zones=4 — the emptied slot's 0 collided with center 0 non-adjacently)
+    return _dedupe_sorted(jnp.sort(new_centers))
 
 
 @jax.jit

@@ -43,3 +43,16 @@ def asset_pair():
     main = io.open_rgb(os.path.join(ASSETS, "main.jpg"))
     add = io.open_rgb(os.path.join(ASSETS, "additional.jpg"))
     return main, add
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables after each test module. With 220+ tests the
+    in-process XLA CPU compiler state grows unboundedly and eventually
+    SEGFAULTS compiling a late shard_map program (deterministically in
+    test_sgm_sharded::test_warmup_mode_close when the whole suite precedes
+    it; the same tests pass in any smaller grouping). Dropping executable
+    caches at module boundaries keeps the compiler healthy; re-compiles
+    within a module are unaffected."""
+    yield
+    jax.clear_caches()

@@ -142,3 +142,17 @@ def test_subdivision_matches_oracle(img, prec, min_s, max_s):
     np.testing.assert_array_equal(np.asarray(got.value), exp.value.astype(np.int32))
     np.testing.assert_array_equal(np.asarray(got.seed_x), exp.seed_x)
     np.testing.assert_array_equal(np.asarray(got.seed_y), exp.seed_y)
+
+
+def test_depth_split_merged_empty_cluster_regression():
+    """Regression (hypothesis counterexample): an emptied cluster's mean (0)
+    collides with an existing center NON-adjacently in slot order; without a
+    sort before the adjacent-dedupe the duplicate survives and the reference's
+    HashMap merge semantics are violated."""
+    depth = np.full((8, 12), 11, np.uint8)
+    depth[0, 0] = 27
+    depth[0, 1] = 0
+    depth[0, 2] = 5
+    got = kmeans.depth_split(depth, 4)
+    exp = oracle_kmeans.depth_split_oracle(depth, 4)
+    assert got == exp == [(0, 5), (11, 11), (27, 27)]
