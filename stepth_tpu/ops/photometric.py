@@ -17,17 +17,29 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _rust_cast_u16(x: np.ndarray) -> np.ndarray:
+    """Rust ``as u16`` from f64: truncate toward zero, SATURATE out-of-range,
+    NaN -> 0 (numpy's plain astype WRAPS on overflow and is undefined on
+    NaN/inf — both found diverging by hypothesis)."""
+    out = np.clip(np.trunc(x), 0.0, 65535.0)
+    return np.where(np.isnan(x), 0.0, out).astype(np.uint16)
+
+
 def normalize_brightness_luma16_exact(img1, img2, percent: float) -> np.ndarray:
     """reference src/operations.rs:3-36: integer floor means, f64 gain,
-    truncating u16 cast; no-op when |1 - gain| < percent."""
+    Rust-cast to u16 (truncating, saturating, NaN -> 0); no-op when
+    |1 - gain| < percent. An all-zero img1 gives gain = inf exactly like the
+    reference's f64 division (no panic): zero pixels -> NaN -> 0, nonzero ->
+    saturate."""
     a = np.asarray(img1, dtype=np.uint16)
     b = np.asarray(img2, dtype=np.uint16)
-    fbr = int(a.sum(dtype=np.uint64)) // a.size
-    sbr = int(b.sum(dtype=np.uint64)) // b.size
-    diff = float(sbr) / float(fbr)
+    fbr = np.float64(int(a.sum(dtype=np.uint64)) // a.size)
+    sbr = np.float64(int(b.sum(dtype=np.uint64)) // b.size)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        diff = sbr / fbr
     if abs(1.0 - diff) < percent:
         return a.copy()
-    return (a.astype(np.float64) * diff).astype(np.uint16)
+    return _rust_cast_u16(a.astype(np.float64) * diff)
 
 
 def normalize_brightness_rgb16_exact(img1, img2, percent: float) -> np.ndarray:
@@ -37,10 +49,11 @@ def normalize_brightness_rgb16_exact(img1, img2, percent: float) -> np.ndarray:
     b = np.asarray(img2, dtype=np.uint16)
     m1 = a.reshape(-1, 3).astype(np.float64).sum(axis=0) / (a.size // 3)
     m2 = b.reshape(-1, 3).astype(np.float64).sum(axis=0) / (b.size // 3)
-    diff = m2 / m1
+    with np.errstate(divide="ignore", invalid="ignore"):
+        diff = m2 / m1
     if np.all(np.abs(1.0 - diff) < percent):
         return a.copy()
-    return (a.astype(np.float64) * diff).astype(np.uint16)
+    return _rust_cast_u16(a.astype(np.float64) * diff)
 
 
 @jax.jit

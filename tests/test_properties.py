@@ -156,3 +156,63 @@ def test_depth_split_merged_empty_cluster_regression():
     got = kmeans.depth_split(depth, 4)
     exp = oracle_kmeans.depth_split_oracle(depth, 4)
     assert got == exp == [(0, 5), (11, 11), (27, 27)]
+
+
+# ---------------------------------------------------------------------------
+# Photometric normalization (reference src/operations.rs:3-80) + adjustments
+# ---------------------------------------------------------------------------
+
+
+@settings(**_SET)
+@given(
+    a=hnp.arrays(np.uint16, (6, 9), elements=st.integers(0, 65535)),
+    b=hnp.arrays(np.uint16, (6, 9), elements=st.integers(1, 65535)),
+    percent=st.floats(0.0, 0.5),
+)
+def test_luma16_normalization_matches_reference_twin(a, b, percent):
+    """Independent recomputation of the reference's integer-floor means, f64
+    gain, truncating u16 cast, and the no-op tolerance window."""
+    from stepth_tpu.ops import photometric
+
+    got = photometric.normalize_brightness_luma16_exact(a, b, percent)
+    fbr = np.float64(int(a.sum(dtype=np.uint64)) // a.size)
+    sbr = np.float64(int(b.sum(dtype=np.uint64)) // b.size)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        gain = sbr / fbr
+    if abs(1.0 - gain) < percent:
+        exp = a.copy()
+    else:
+        x = a.astype(np.float64) * gain
+        # Rust `as u16`: truncate, saturate, NaN -> 0
+        exp = np.where(
+            np.isnan(x), 0.0, np.clip(np.trunc(x), 0.0, 65535.0)
+        ).astype(np.uint16)
+    np.testing.assert_array_equal(got, exp)
+
+
+@settings(**_SET)
+@given(img=u8_arr((7, 9, 4)), value=st.integers(-300, 300))
+def test_brighten_matches_numpy_twin(img, value):
+    from stepth_tpu.ops import adjust
+
+    got = np.asarray(adjust.brighten(img, value))
+    rgb = np.clip(img[..., :3].astype(np.int64) + value, 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(got[..., :3], rgb)
+    np.testing.assert_array_equal(got[..., 3], img[..., 3])  # alpha untouched
+
+
+@settings(**_SET)
+@given(img=u8_arr((7, 9, 4)), c=st.floats(-99.0, 100.0))
+def test_contrast_matches_numpy_twin(img, c):
+    from stepth_tpu.ops import adjust
+
+    got = np.asarray(adjust.contrast(img, np.float32(c)))
+    percent = np.float32(((100.0 + np.float32(c)) / 100.0) ** 2)
+    v = img[..., :3].astype(np.float32) / 255.0
+    d = ((v - 0.5) * percent + 0.5) * 255.0
+    exp = np.clip(d, 0.0, 255.0).astype(np.uint8)
+    # XLA fuses (v-0.5)*p+0.5 into an FMA; at exact truncation boundaries the
+    # extra rounding step in the numpy twin can flip the floor by one level
+    diff = np.abs(got[..., :3].astype(np.int32) - exp.astype(np.int32))
+    assert diff.max() <= 1, diff.max()
+    np.testing.assert_array_equal(got[..., 3], img[..., 3])
