@@ -5,6 +5,8 @@ space including the degenerate corners the quirks live in (constant planes,
 gray mask values, saturated channels).
 """
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 from hypothesis import given, settings, strategies as st
@@ -17,7 +19,9 @@ from stepth_tpu.oracle import resize as oracle_resize
 from stepth_tpu.match import parity
 from stepth_tpu.oracle import subdivision as oracle_sub
 
-_SET = dict(max_examples=15, deadline=None)
+# STEPTH_HYP_EXAMPLES=300 (say) runs a deep fuzz; default stays CI-fast
+_N = int(os.environ.get("STEPTH_HYP_EXAMPLES", "15"))
+_SET = dict(max_examples=_N, deadline=None)
 
 u8 = st.integers(0, 255)
 
@@ -127,7 +131,7 @@ def test_resample_upscale_matches_oracle(img):
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=max(10, _N // 2), deadline=None)
 @given(
     img=u8_arr((16, 20, 3)),
     prec=st.integers(1, 80),
