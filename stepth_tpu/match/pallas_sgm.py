@@ -269,18 +269,25 @@ def _scan_direction(
     reverse: bool,
     shift: int = 0,
     interpret: bool = False,
+    step_block: int = 8,
+    lane_tile: Optional[int] = None,
 ):
     """Run one direction over ``vol`` [D, S, T]; returns ``acc + L_dir``
     (or ``L_dir`` when ``acc`` is None). ``shift`` ≠ 0 (diagonals) disables
-    T-tiling — the carry shift crosses tile boundaries."""
+    T-tiling — the carry shift crosses tile boundaries. ``step_block`` is the
+    number of recurrence steps unrolled per grid step (must divide S);
+    ``lane_tile`` overrides the T-tile width (must divide T)."""
     D, S, T = vol.shape
-    BS = 8
+    BS = step_block if S % step_block == 0 else 8
     if shift == 0:
-        TT = 128
-        for cand in (512, 384, 256, 128):
-            if T % cand == 0:
-                TT = cand
-                break
+        if lane_tile is not None and T % lane_tile == 0:
+            TT = lane_tile
+        else:
+            TT = 128
+            for cand in (512, 384, 256, 128):
+                if T % cand == 0:
+                    TT = cand
+                    break
     else:
         # the diagonal carry shift crosses tile boundaries, so T cannot tile;
         # the caller picks the volume orientation with the smaller T

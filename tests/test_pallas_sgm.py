@@ -132,3 +132,27 @@ def test_bad_volume_dtype_raises():
             left, right, MatchConfig(num_disparities=8, window=5),
             sgm.SGMConfig(volume_dtype="f16"), interpret=True,
         )
+
+
+def test_scan_tiling_knobs_are_exact():
+    """``step_block`` / ``lane_tile`` only re-tile the scan grid — the
+    recurrence order (and therefore every f32 op) is unchanged, so any legal
+    tiling must produce bit-identical path costs."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    D, S, T = 8, 64, 256
+    vol = jnp.asarray(rng.uniform(0, 50, (D, S, T)).astype(np.float32))
+    kw = dict(S_real=S - 5, T_real=T - 9, p1=4.0, p2=16.0, interpret=True)
+    ref = pallas_sgm._scan_direction(vol, vol, reverse=False, **kw)
+    for bs, tt in ((16, None), (32, 128), (8, 128), (64, 256)):
+        got = pallas_sgm._scan_direction(
+            vol, vol, reverse=False, step_block=bs, lane_tile=tt, **kw
+        )
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+    # reverse direction too (block order flips)
+    ref_r = pallas_sgm._scan_direction(vol, vol, reverse=True, **kw)
+    got_r = pallas_sgm._scan_direction(
+        vol, vol, reverse=True, step_block=16, lane_tile=128, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(ref_r), np.asarray(got_r))
