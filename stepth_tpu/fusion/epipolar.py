@@ -132,9 +132,53 @@ def epipolar_residuals(E, x1n, x2n) -> jax.Array:
     return num / jnp.maximum(den, 1e-12)
 
 
+def ransac_essential(
+    x1n,
+    x2n,
+    iters: int = 256,
+    thresh: float = 2.5e-3,
+    seed: int = 0,
+) -> Tuple[jax.Array, jax.Array]:
+    """RANSAC eight-point, TPU-shaped: all ``iters`` minimal hypotheses are
+    estimated by ONE batched (vmapped) eight-point solve and scored by ONE
+    batched Sampson-residual pass — no data-dependent Python loop. Returns
+    ``(E, inlier_mask)`` where ``E`` is re-estimated on the consensus set.
+
+    ``thresh`` is in *normalized* coordinates (divide a pixel tolerance by
+    the focal length). Gross outliers (repetitive-texture false matches,
+    which survive descriptor similarity checks) bias the plain least-squares
+    eight-point enough to throw the downstream robust BA into a wrong basin
+    (measured: 6% outliers → 124° translation-direction error); consensus
+    sampling is the standard fix and costs one batched solve."""
+    import numpy as np
+
+    n = x1n.shape[0]
+    if n < 8:
+        return estimate_essential(x1n, x2n), jnp.ones(n, bool)
+    keys = jax.random.split(jax.random.PRNGKey(seed), iters)
+    # minimal samples without replacement (degenerate duplicate picks would
+    # make the 8-point system rank-deficient)
+    idx = jax.vmap(
+        lambda k: jax.random.choice(k, n, shape=(8,), replace=False)
+    )(keys)
+    Es = jax.vmap(lambda i: estimate_essential(x1n[i], x2n[i]))(idx)
+    resid = jax.vmap(lambda E: epipolar_residuals(E, x1n, x2n))(Es)
+    counts = jnp.sum(resid < thresh, axis=1)
+    best = jnp.argmax(counts)
+    mask = resid[best] < thresh
+    # refit on the consensus set (host-side gather: the inlier count is
+    # data-dependent, and this function is orchestration, not a jit region)
+    sel = np.asarray(mask)
+    if sel.sum() >= 8:
+        E = estimate_essential(x1n[jnp.asarray(sel)], x2n[jnp.asarray(sel)])
+    else:
+        E, mask = Es[best], jnp.ones(n, bool)
+    return E, mask
+
+
 def refine_pose_ba(uv1, uv2, K, R0, T0, X0, iters: int = 15,
                    cg_iters: int = 10, loss: str = "huber",
-                   loss_delta: float = 1.0):
+                   loss_delta: float = 1.0, weights=None):
     """Gold-standard two-view refinement: triangulated structure + the
     eight-point pose as the init for a robust bundle adjustment over
     {cam2 pose, points} (cam1 fixed — the gauge). Returns
@@ -164,7 +208,11 @@ def refine_pose_ba(uv1, uv2, K, R0, T0, X0, iters: int = 15,
         uv=jnp.concatenate(
             [jnp.asarray(uv1, jnp.float32), jnp.asarray(uv2, jnp.float32)]
         ),
-        weight=jnp.ones(2 * n, jnp.float32),
+        weight=(
+            jnp.ones(2 * n, jnp.float32)
+            if weights is None
+            else jnp.tile(jnp.asarray(weights, jnp.float32), 2)
+        ),
     )
     st = ba.solve(prob, iters=iters, cg_iters=cg_iters, loss=loss,
                   loss_delta=loss_delta)
@@ -174,52 +222,64 @@ def refine_pose_ba(uv1, uv2, K, R0, T0, X0, iters: int = 15,
 
 
 def pose_from_correspondences(uv1, uv2, K1, K2, trim_iters: int = 0,
-                              keep: float = 0.7, refine: bool = True):
-    """Pixels → relative pose: normalize by the intrinsics, eight-point,
-    cheirality decomposition, then (``refine=True``, the default) robust
-    two-view bundle adjustment. Returns ``(R, T_unit, points_cam1)`` — feed
+                              keep: float = 0.7, refine: bool = True,
+                              ransac_iters: int = 256,
+                              ransac_px: float = 2.0,
+                              seed: int = 0):
+    """Pixels → relative pose: normalize by the intrinsics, RANSAC
+    eight-point (``ransac_iters`` batched hypotheses, ``ransac_px`` pixel
+    inlier tolerance), cheirality decomposition on the consensus set, then
+    (``refine=True``, the default) robust two-view bundle adjustment with
+    the outliers zero-weighted. Returns ``(R, T_unit, points_cam1)`` — feed
     ``(R, T_unit · b)`` to :func:`stepth_tpu.ops.rectify.rectify_maps` with a
     known baseline length ``b`` for metric depth.
 
-    Outlier handling lives in the BA refinement (huber IRLS over ALL
-    correspondences) — residual-trimmed re-estimation (``trim_iters`` > 0)
-    is also available but off by default: trimming against a *biased*
-    eight-point fit preferentially discards the high-parallax
-    correspondences that carry the translation signal (measured: it made
-    the refined pose WORSE on the synthetic rig). BA refinement requires
+    Outlier handling is two-layered: RANSAC rejects *gross* outliers (e.g.
+    repetitive-texture false matches — a least-squares eight-point fit under
+    6% of them lands the subsequent BA in a wrong basin, measured 124°
+    translation error on the synthetic rig), then huber IRLS in the BA
+    handles the sub-pixel tail. ``ransac_iters=0`` restores the plain
+    least-squares eight-point. Residual-trimmed re-estimation
+    (``trim_iters`` > 0) is also available but off by default: trimming
+    against a *biased* eight-point fit preferentially discards the
+    high-parallax correspondences that carry the translation signal
+    (measured: it made the refined pose WORSE). BA refinement requires
     shared intrinsics (K1 == K2); it is skipped otherwise."""
     import numpy as np
 
-    K1i = jnp.linalg.inv(jnp.asarray(K1, jnp.float32))
-    K2i = jnp.linalg.inv(jnp.asarray(K2, jnp.float32))
+    K1 = jnp.asarray(K1, jnp.float32)
+    K2 = jnp.asarray(K2, jnp.float32)
+    K1i = jnp.linalg.inv(K1)
+    K2i = jnp.linalg.inv(K2)
     x1 = jnp.einsum("ij,nj->ni", K1i, _homogeneous(jnp.asarray(uv1, jnp.float32)))
     x2 = jnp.einsum("ij,nj->ni", K2i, _homogeneous(jnp.asarray(uv2, jnp.float32)))
     x1n = x1[:, :2] / x1[:, 2:3]
     x2n = x2[:, :2] / x2[:, 2:3]
-    uv1k = jnp.asarray(uv1, jnp.float32)
-    uv2k = jnp.asarray(uv2, jnp.float32)
-    E = estimate_essential(x1n, x2n)
+    inlier = jnp.ones(x1n.shape[0], bool)
+    if ransac_iters > 0:
+        focal = float(K1[0, 0] + K1[1, 1] + K2[0, 0] + K2[1, 1]) / 4.0
+        E, inlier = ransac_essential(
+            x1n, x2n, iters=ransac_iters, thresh=ransac_px / focal, seed=seed
+        )
+    else:
+        E = estimate_essential(x1n, x2n)
+    x1k, x2k = x1n, x2n
     for _ in range(trim_iters):
-        r = np.asarray(epipolar_residuals(E, x1n, x2n))
+        r = np.asarray(epipolar_residuals(E, x1k, x2k))
         if len(r) * keep < 8:
             break
         thresh = np.quantile(r, keep)
         sel = jnp.asarray(np.asarray(r <= thresh))
-        x1n, x2n = x1n[sel], x2n[sel]
-        uv1k, uv2k = uv1k[sel], uv2k[sel]
-        E = estimate_essential(x1n, x2n)
-    R, T, X = recover_pose(E, x1n, x2n)
+        x1k, x2k = x1k[sel], x2k[sel]
+        E = estimate_essential(x1k, x2k)
+    sel_np = np.asarray(inlier)
+    R, T, _ = recover_pose(E, x1n[jnp.asarray(sel_np)], x2n[jnp.asarray(sel_np)])
+    X = triangulate(R, T, x1n, x2n)
     if refine and np.allclose(np.asarray(K1), np.asarray(K2)):
-        # refine on the FULL correspondence set — huber is the outlier gate
-        x1f = jnp.einsum(
-            "ij,nj->ni", K1i, _homogeneous(jnp.asarray(uv1, jnp.float32))
-        )
-        x2f = jnp.einsum(
-            "ij,nj->ni", K2i, _homogeneous(jnp.asarray(uv2, jnp.float32))
-        )
-        Xf = triangulate(R, T, x1f[:, :2] / x1f[:, 2:3], x2f[:, :2] / x2f[:, 2:3])
+        # refine on the full set with outliers zero-weighted; huber IRLS
+        # gates the sub-pixel tail among the inliers
         R, T, X = refine_pose_ba(
             jnp.asarray(uv1, jnp.float32), jnp.asarray(uv2, jnp.float32),
-            K1, R, T, Xf,
+            K1, R, T, X, weights=inlier.astype(jnp.float32),
         )
     return R, T, X
