@@ -70,6 +70,10 @@ class PyramidConfig:
     # Disparity search half-window around the upsampled coarse estimate, per level.
     refine_radius: int = 4
     coarsest_disparities: int = 32
+    # Cap on adaptive per-tile base windows in the Pallas refiner: tiles whose
+    # prior spans a disparity discontinuity search up to this many base ± R
+    # windows; 1 restores the round-2 single-base-per-tile kernel.
+    refine_windows: int = 4
 
 
 @dataclasses.dataclass(frozen=True)

@@ -387,6 +387,7 @@ def match_hierarchical_sharded(
                 l_ext, r_ext, p_ext, cfg, pyr.refine_radius, max_base,
                 tr, interpret,
                 g_row0=idx * th_l - halo, g_h=h_l,
+                max_windows=pyr.refine_windows,
             )
             disp = d_full[halo : halo + th_l]
 

@@ -37,6 +37,7 @@ the same continuous surface (the left at exact texel centers).
 from __future__ import annotations
 
 import dataclasses
+import zlib
 from typing import Callable, Dict, List, Optional, Tuple
 
 import numpy as np
@@ -242,7 +243,10 @@ def make_scene(name: str, h: int, w: int, dmax: int,
     ``ellipses``    three elliptical layers at distinct depths
     ``photometric`` the box scene + right-view gain 1.15 / bias +8 / σ=3 noise
     """
-    rng = np.random.default_rng(seed + hash(name) % 65536)
+    # stable per-name salt: Python's str hash() is randomized per process
+    # (PYTHONHASHSEED), which made every pytest process render different
+    # textures — crc32 keeps scenes bit-reproducible everywhere
+    rng = np.random.default_rng(seed + zlib.crc32(name.encode()) % 65536)
     yy, xx = _coords(h, w)
     d_lo, d_hi = 0.08 * dmax, 0.92 * dmax
 

@@ -81,24 +81,17 @@ def test_hierarchical_pallas_smooth_scenes(scene_cache):
     assert st["bad3"] < 0.01, st
 
 
-@pytest.mark.xfail(
-    reason="single-base tile quantization (round-2 kernel); fixed by the "
-    "multi-window refine — remove once landed", strict=False,
-)
 def test_hierarchical_pallas_hard_scenes(scene_cache):
     """Steep gradients and depth edges: the multi-window refine keeps the
     Pallas pyramid within a stated factor of the exhaustive matcher (the
-    round-2 single-base kernel failed catastrophically here: bad3 0.13–0.30)."""
+    round-2 single-base kernel failed catastrophically here: bad3 0.13–0.30;
+    the greedy interval-cover window plan measures 0.006–0.050)."""
     for name, bad3_cap in (("steep", 0.03), ("curved", 0.08),
                            ("box", 0.10), ("ellipses", 0.10)):
         st = _run("hierarchical-pallas", scene_cache(name))
         assert st["bad3"] < bad3_cap, (name, st)
 
 
-@pytest.mark.xfail(
-    reason="single-base tile quantization (round-2 kernel); fixed by the "
-    "multi-window refine — remove once landed", strict=False,
-)
 def test_hierarchical_pallas_edge_band(scene_cache):
     """Edge-region quality target (VERDICT round 2 #2): hierarchical bad3 in
     the edge band within ~2x of the exhaustive kernel's on the box scene."""
