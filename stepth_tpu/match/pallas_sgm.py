@@ -209,6 +209,14 @@ def _aggregated_volume(
 
 
 def _scan_kernel(*refs, BS, D, TT, S_real, T_real, p1, p2, reverse, shift, first):
+    # Layout note (measured, v5e): an alternative [S, D, T] volume layout
+    # (scan axis as the outer block dim, so each step's slab is a
+    # layout-native [D, TT] read) times IDENTICALLY to this [D, BS-sublane,
+    # TT] blocking in isolation (3.70 vs 3.62 ms per 1080p direction) but
+    # costs two extra materialized major transposes in the 4-direction
+    # pipeline (~1.8 ms each) — full pipeline 21.0 vs 17.8 ms. The kernel is
+    # VPU-issue-bound on its ~16 semantic ops per recurrence step, not on
+    # block slicing.
     if first:
         v_ref, out_ref, carry = refs
         acc_ref = None
@@ -218,37 +226,58 @@ def _scan_kernel(*refs, BS, D, TT, S_real, T_real, p1, p2, reverse, shift, first
     j = pl.program_id(1)
     ns = pl.num_programs(1)
 
+    # NOTE on 16-bit compute: i16 arithmetic (exact for integer costs, half
+    # the VPU issue count) and bf16 both dead-end in Mosaic — "Rotate with
+    # non-32-bit data" is not implemented, and the recurrence needs sublane
+    # rotates of the carry every step. This is also why the round-2 bf16
+    # volume mode made the scans *slower*: the rolls forced f32 round-trips.
+    zero = 0.0
+
     @pl.when(j == 0)
     def _init():
         carry[:] = jnp.zeros((D, TT), jnp.float32)
 
     tcol = jax.lax.broadcasted_iota(jnp.int32, (1, TT), 1) + t * TT
-    tmask = (tcol < T_real).astype(jnp.float32)
+    tmask = tcol < T_real  # [1, TT] bool
     drow = jax.lax.broadcasted_iota(jnp.int32, (D, 1), 0)
+    up_edge = drow == 0  # hoisted: loop-invariant disparity-border masks
+    dn_edge = drow == D - 1
 
     blk = (ns - 1 - j) if reverse else j
+    # (measured dead ends, v5e: carrying ``prev`` in registers across the
+    # unrolled steps instead of through the scratch, and replacing the jnp.min
+    # sublane reduction with an explicit halving tree, were each ~0.5 ms
+    # SLOWER over the 4-direction pipeline — register pressure beats the
+    # saved VMEM round-trips at these block sizes)
     for k in range(BS):
         idx = BS - 1 - k if reverse else k
         s = blk * BS + idx  # global scan position of this step
         prev = carry[:]
         if shift > 0:
             prev = pltpu.roll(prev, shift, axis=1)
-            prev = jnp.where(tcol - t * TT < shift, 0.0, prev)
+            prev = jnp.where(tcol - t * TT < shift, zero, prev)
         elif shift < 0:
             prev = pltpu.roll(prev, TT + shift, axis=1)
-            prev = jnp.where(tcol - t * TT >= TT + shift, 0.0, prev)
+            prev = jnp.where(tcol - t * TT >= TT + shift, zero, prev)
         min_l = jnp.min(prev, axis=0, keepdims=True)  # [1, TT]
-        up = jnp.where(drow == 0, _BIG, pltpu.roll(prev, 1, axis=0))  # prev[d−1]
-        dn = jnp.where(
-            drow == D - 1, _BIG, pltpu.roll(prev, D - 1, axis=0)
-        )  # prev[d+1]
-        cand = jnp.minimum(prev, jnp.minimum(up + p1, dn + p1))
+        up = jnp.where(up_edge, _BIG, pltpu.roll(prev, 1, axis=0))  # prev[d−1]
+        dn = jnp.where(dn_edge, _BIG, pltpu.roll(prev, D - 1, axis=0))  # prev[d+1]
+        # one add on min(up, dn) instead of two (same result: min distributes)
+        cand = jnp.minimum(prev, jnp.minimum(up, dn) + p1)
         cand = jnp.minimum(cand, min_l + p2)
         c = v_ref[:, idx, :].astype(jnp.float32)
         L = (c + cand) - min_l
-        # zero outside the real extent: scans crossing the padding then enter
-        # the first real pixel with an all-zero predecessor = fresh start
-        L = L * tmask * (s < S_real).astype(jnp.float32)
+        # Zero outside the real extent so a scan entering the real region from
+        # padding sees an all-zero predecessor (= the XLA backend's fresh
+        # start). Only *reverse* scans enter from padding (forward scans start
+        # at s=0 with a zero carry), and for axis-aligned scans the T lanes
+        # are independent (padded lanes never leak into real ones), so the
+        # mask is only materialized where it can matter.
+        if shift != 0:
+            smask = tmask & (s < S_real)
+            L = jnp.where(smask, L, zero)
+        elif reverse:
+            L = jnp.where(s < S_real, L, zero)
         if first:
             out_ref[:, idx, :] = L.astype(out_ref.dtype)
         else:
@@ -276,18 +305,17 @@ def _scan_direction(
     (or ``L_dir`` when ``acc`` is None). ``shift`` ≠ 0 (diagonals) disables
     T-tiling — the carry shift crosses tile boundaries. ``step_block`` is the
     number of recurrence steps unrolled per grid step (must divide S);
-    ``lane_tile`` overrides the T-tile width (must divide T)."""
+    ``lane_tile`` caps the T-tile width: the largest 128-multiple divisor of
+    ``T`` ≤ the cap is used (so one knob serves both scan orientations)."""
     D, S, T = vol.shape
     BS = step_block if S % step_block == 0 else 8
     if shift == 0:
-        if lane_tile is not None and T % lane_tile == 0:
-            TT = lane_tile
-        else:
-            TT = 128
-            for cand in (512, 384, 256, 128):
-                if T % cand == 0:
-                    TT = cand
-                    break
+        cap = 512 if lane_tile is None else lane_tile
+        TT = 128
+        for cand in range(cap // 128 * 128, 127, -128):
+            if T % cand == 0:
+                TT = cand
+                break
     else:
         # the diagonal carry shift crosses tile boundaries, so T cannot tile;
         # the caller picks the volume orientation with the smaller T
@@ -339,7 +367,13 @@ def aggregate_pallas(
     :func:`stepth_tpu.match.sgm.aggregate` bit-for-bit on the real region
     (same recurrence arithmetic, same accumulation order)."""
     h, w = S_dims
-    kw = dict(p1=p1, p2=p2, interpret=interpret)
+    kw = dict(
+        p1=p1,
+        p2=p2,
+        interpret=interpret,
+        step_block=sgm.step_block,
+        lane_tile=sgm.lane_tile,
+    )
     # →x, ←x on the [D, W, H] transpose (scan axis must be axis 1)
     volT = jnp.swapaxes(vol, 1, 2)
     acc = _scan_direction(volT, None, S_real=w, T_real=h, reverse=False, **kw)

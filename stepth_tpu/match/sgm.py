@@ -68,6 +68,13 @@ class SGMConfig:
     p2: float = 32.0
     directions: int = 4
     volume_dtype: str = "f32"  # "f32" | "bf16" (pallas backend)
+    # Pallas scan-kernel shape knobs (see pallas_sgm._scan_direction):
+    # recurrence steps unrolled per grid step, and a *cap* on the lateral
+    # lane-tile width (the largest 128-multiple divisor of T ≤ the cap is
+    # used, so one value serves both scan orientations). Defaults are the
+    # best of the round-3 on-chip sweep (tools/sgm_sweep.py).
+    step_block: int = 16
+    lane_tile: int = 512
 
 
 def dir_step(carry, c, shift: int, p1, p2) -> jax.Array:
