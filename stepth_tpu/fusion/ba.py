@@ -151,11 +151,15 @@ def _jacobian_blocks(problem: BAProblem, poses, points):
     )
 
 
-def _schur_solve(problem, A, B, r, lm_lambda, cg_iters, axis_name: Optional[str]):
-    """One LM step via implicit-Schur CG. Returns (dpose [C,6], dpoint [P,3]).
+def _schur_system(problem, A, B, r, lm_lambda, axis_name: Optional[str]):
+    """Build the implicit reduced camera system: returns
+    ``(S_apply, precond, b, back_substitute)`` where ``S_apply(x)`` applies the
+    Schur complement S = U − W V⁻¹ Wᵀ without materializing it, ``precond`` is
+    the block-Jacobi M⁻¹ = diag(U_d)⁻¹ application, ``b`` the Schur RHS, and
+    ``back_substitute(dpose)`` recovers Δpoints.
 
-    With ``axis_name``, every segment-sum reduction is followed by a psum so the
-    result is correct when observations are sharded along that axis.
+    With ``axis_name``, every segment-sum reduction is followed by a psum so
+    the result is correct when observations are sharded along that axis.
     """
     C = problem.poses.shape[0]
     Pn = problem.points.shape[0]
@@ -220,6 +224,21 @@ def _schur_solve(problem, A, B, r, lm_lambda, cg_iters, axis_name: Optional[str]
     def precond(x):
         return matvec(M_inv, x)
 
+    def back_substitute(dpose):
+        # Δp = V⁻¹(−g_p − Wᵀ Δc)
+        Wt_dc = allsum(_segsum(matvec_t(W, dpose[ci]), pi, Pn))
+        return matvec(V_inv, -g_p - Wt_dc)
+
+    return S_apply, precond, b, back_substitute
+
+
+def _schur_solve(problem, A, B, r, lm_lambda, cg_iters, axis_name: Optional[str]):
+    """One LM step via implicit-Schur CG (block-Jacobi preconditioned).
+    Returns (dpose [C,6], dpoint [P,3])."""
+    S_apply, precond, b, back_substitute = _schur_system(
+        problem, A, B, r, lm_lambda, axis_name
+    )
+
     # CG on S x = b
     x0 = jnp.zeros_like(b)
     r0 = b - S_apply(x0)
@@ -240,11 +259,54 @@ def _schur_solve(problem, A, B, r, lm_lambda, cg_iters, axis_name: Optional[str]
 
     x, *_ = lax.fori_loop(0, cg_iters, cg_body, (x0, r0, z0, z0, jnp.sum(r0 * z0)))
     dpose = x
+    return dpose, back_substitute(dpose)
 
-    # back-substitute points: Δp = V⁻¹(−g_p − Wᵀ Δc)
-    Wt_dc = allsum(_segsum(matvec_t(W, dpose[ci]), pi, Pn))
-    dpoint = matvec(V_inv, -g_p - Wt_dc)
-    return dpose, dpoint
+
+@partial(jax.jit, static_argnames=("cg_iters", "use_precond", "fix_first_cam"))
+def cg_convergence(
+    problem: BAProblem,
+    cg_iters: int = 30,
+    lm_lambda0: float = 1e-3,
+    use_precond: bool = True,
+    fix_first_cam: bool = True,
+) -> jax.Array:
+    """Diagnostic: relative CG residual norms ``‖b − S·x_k‖ / ‖b‖`` for
+    k = 0..cg_iters on the FIRST LM step's Schur system — the
+    "iters-to-1e-6" evidence behind the default ``cg_iters`` (BASELINE.md
+    config 5). ``use_precond=False`` runs plain CG for comparison."""
+    r, A, B = _jacobian_blocks(problem, problem.poses, problem.points)
+    if fix_first_cam:
+        A = A * (problem.cam_idx != 0).astype(A.dtype)[:, None, None]
+    S_apply, precond, b, _ = _schur_system(
+        problem, A, B, r, jnp.float32(lm_lambda0), None
+    )
+    if not use_precond:
+        precond = lambda x: x  # noqa: E731
+    bnorm = jnp.sqrt(jnp.sum(b * b))
+
+    x0 = jnp.zeros_like(b)
+    r0 = b - S_apply(x0)
+    z0 = precond(r0)
+    hist0 = jnp.zeros((cg_iters + 1,)).at[0].set(jnp.sqrt(jnp.sum(r0 * r0)))
+
+    def cg_body(i, state):
+        x, rr, z, p, rz, hist = state
+        Sp = S_apply(p)
+        denom = jnp.sum(p * Sp)
+        alpha = rz / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+        x = x + alpha * p
+        rr = rr - alpha * Sp
+        z = precond(rr)
+        rz_new = jnp.sum(rr * z)
+        beta = rz_new / jnp.where(jnp.abs(rz) < 1e-12, 1e-12, rz)
+        p = z + beta * p
+        hist = hist.at[i + 1].set(jnp.sqrt(jnp.sum(rr * rr)))
+        return x, rr, z, p, rz_new, hist
+
+    *_, hist = lax.fori_loop(
+        0, cg_iters, cg_body, (x0, r0, z0, z0, jnp.sum(r0 * z0), hist0)
+    )
+    return hist / jnp.maximum(bnorm, 1e-30)
 
 
 def _rho(s2, loss: str, delta: float):

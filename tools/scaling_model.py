@@ -1,0 +1,58 @@
+"""Multi-chip / multi-host scaling projections for BASELINE.md configs 3-5.
+
+Prints the roofline table: per-frame collective budgets (validated op-for-op
+against compiled HLO in tests/test_comm_model.py) + measured single-chip
+compute times → projected efficiency at 1-4 hosts × 8 chips (v5e pod slice
+assumptions stated in stepth_tpu/parallel/comm_model.py).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from stepth_tpu.config import MatchConfig, PyramidConfig
+from stepth_tpu.parallel import comm_model as cm
+
+# measured single-chip device-throughput frame times (tpu_measure.log / BASELINE.md)
+FLAGSHIP_MS = 1.43  # 1080p hierarchical-pallas eff-D=128
+SGM_MS = 18.1  # 1080p Pallas SGM D=64 4-dir (round 3)
+BA_MS_PER_LM = 309.0  # 128 cams / 65 536 pts / 1 048 576 obs, ms per LM iter
+
+
+def show(rep, compute_ms, configs):
+    print(f"\n=== {rep.name} (single-chip {compute_ms} ms/frame) ===")
+    print(rep.table())
+    print(f"{'devices':>8} {'hosts':>6} {'compute':>9} {'comm':>8} {'eff':>6}")
+    for n, hosts in configs:
+        p = cm.project(rep, compute_ms, n, hosts)
+        print(f"{n:8d} {hosts:6d} {p.compute_ms:8.3f}ms {p.comm_ms:7.3f}ms "
+              f"{p.efficiency*100:5.1f}%")
+
+
+def main():
+    grid = [(2, 1), (4, 1), (8, 1), (16, 2), (32, 4)]
+
+    cfg = MatchConfig(num_disparities=128, window=9, cost="sad")
+    pyr = PyramidConfig(levels=4, refine_radius=4, coarsest_disparities=16)
+    show(cm.comm_hierarchical_sharded(cfg, pyr, 1080, 1920, 8),
+         FLAGSHIP_MS, grid)
+    show(cm.comm_hierarchical_sharded(cfg, pyr, 1080, 1920, 8,
+                                      coarse_backend="sgm"),
+         1.50, grid)
+
+    scfg = MatchConfig(num_disparities=64, window=5, cost="sad", lr_threshold=1.0)
+    show(cm.comm_sgm_sharded(scfg, 1080, 1920, 8, directions=4, exact=True),
+         SGM_MS, grid)
+    show(cm.comm_sgm_sharded(scfg, 1080, 1920, 8, directions=4, exact=False),
+         SGM_MS, grid)
+
+    # BA: one solve call = 10 LM iters
+    show(cm.comm_ba_sharded(128, 65536, lm_iters=10, cg_iters=10),
+         10 * BA_MS_PER_LM, grid)
+
+
+if __name__ == "__main__":
+    main()
