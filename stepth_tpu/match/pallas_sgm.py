@@ -311,6 +311,10 @@ def _scan_direction(
     BS = step_block if S % step_block == 0 else 8
     if shift == 0:
         cap = 512 if lane_tile is None else lane_tile
+        if cap < 128:
+            raise ValueError(
+                f"lane_tile cap must be >= 128 (one lane register), got {cap}"
+            )
         TT = 128
         for cand in range(cap // 128 * 128, 127, -128):
             if T % cand == 0:

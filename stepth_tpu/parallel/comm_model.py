@@ -61,6 +61,12 @@ class Collective:
 class CommReport:
     name: str
     collectives: Tuple[Collective, ...]
+    # Device count the report was built for. Relay-chain collective counts are
+    # proportional to (n−1) and halo/tile sizing is baked in at build time, so
+    # ``project()`` rescales relay hops when projecting a different n and the
+    # builders record n here to make that possible. ``None`` = n-independent
+    # (e.g. BA all-reduces, whose ring factor project() derives itself).
+    n: Optional[int] = None
 
     def op_bytes(self, kind: Optional[str] = None) -> int:
         """Σ payload·count — the number the HLO validation checks."""
@@ -94,6 +100,7 @@ def comm_dense_sharded(cfg: MatchConfig, H: int, W: int, n: int) -> CommReport:
                        b, 4),
             Collective("permute", f"median disparity halo [1,{W}]", 4 * W, 2),
         ),
+        n=n,
     )
 
 
@@ -177,7 +184,7 @@ def comm_hierarchical_sharded(
                    4 * halo * W, 2)
     )
     return CommReport(f"match_hierarchical_sharded[{coarse_backend}]",
-                      tuple(cols))
+                      tuple(cols), n=n)
 
 
 def comm_sgm_sharded(
@@ -204,7 +211,7 @@ def comm_sgm_sharded(
                     serial_hops=n_relay * (n - 1),
                 )
             )
-    return CommReport("match_pair_sgm_sharded", tuple(cols))
+    return CommReport("match_pair_sgm_sharded", tuple(cols), n=n)
 
 
 def comm_ba_sharded(
@@ -298,7 +305,21 @@ def project(
     boundaries). Neighbor permutes ride parallel links (wall time = one
     payload per exchange, the slowest link class present); serial relays pay
     every hop; all-reduces pay the ring factor 2(n−1)/n on the slowest link
-    class. No compute/comm overlap is assumed (conservative)."""
+    class. No compute/comm overlap is assumed (conservative).
+
+    Relay-chain counts in the report are proportional to (report.n − 1); when
+    ``n_devices != report.n`` the per-round hop count is recovered from
+    ``report.n`` and rescaled to (n_devices − 1), so projecting one report
+    across a device grid is sound. Halo/tile sizing is still baked in at
+    build time — for exact numbers rebuild the report per n (the builders
+    take n; tools/scaling_model.py does this). A report built with n == 1
+    cannot be projected to n > 1 (its relay collectives were elided) — that
+    raises."""
+    if report.n == 1 and n_devices > 1:
+        raise ValueError(
+            f"report {report.name!r} was built for n=1 (relay collectives "
+            f"elided); rebuild it with n={n_devices} before projecting"
+        )
     ici = ici_gbps * 1e9
     dcn = dcn_gbps * 1e9
     slow = dcn if n_hosts > 1 else ici
@@ -308,11 +329,12 @@ def project(
             wire = 2.0 * (n_devices - 1) / n_devices * c.payload_bytes
             comm_s += c.count * wire / slow
         elif c.serial_hops:
-            # serial chain: (n−1) hops total, of which hosts−1 cross DCN
-            hops = c.count
+            # serial chain: per_round × (n−1) hops total, hosts−1 cross DCN
+            built_n = report.n if report.n is not None else n_devices
+            per_round = c.count // max(built_n - 1, 1)
+            hops = per_round * max(n_devices - 1, 0)
             dcn_hops = 0
             if n_hosts > 1 and n_devices > 1:
-                per_round = c.count // max(n_devices - 1, 1)
                 dcn_hops = per_round * (n_hosts - 1)
             comm_s += ((hops - dcn_hops) * c.payload_bytes / ici
                        + dcn_hops * c.payload_bytes / dcn)

@@ -304,6 +304,10 @@ def match_hierarchical_sharded(
         mesh = make_mesh()
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if lr_check and pyr.levels == 1:
+        # mirrors the single-device guard (pallas_refine.py): the right-view
+        # disparity comes from the final refine level, which never runs here
+        raise ValueError("lr_check needs at least one refine level")
     left = jnp.asarray(left, jnp.float32)
     right = jnp.asarray(right, jnp.float32)
     h = left.shape[0]

@@ -118,3 +118,20 @@ def test_projection_sanity():
     )
     p3 = comm_model.project(sgm_rep, compute_ms_1chip=17.8, n_devices=8)
     assert p3.comm_ms > 0
+
+
+def test_projection_relay_rescale():
+    """ADVICE r3 (medium): relay hop counts are (n−1)-proportional and baked
+    at build time; project() must rescale them when n_devices != report.n so
+    a fixed report projected across a device grid matches per-n rebuilds."""
+    scfg = MatchConfig(num_disparities=64, window=5)
+    rep8 = comm_model.comm_sgm_sharded(scfg, 1080, 1920, 8, directions=4)
+    for n in (2, 4, 16, 32):
+        fresh = comm_model.comm_sgm_sharded(scfg, 1080, 1920, n, directions=4)
+        p_scaled = comm_model.project(rep8, compute_ms_1chip=17.8, n_devices=n)
+        p_fresh = comm_model.project(fresh, compute_ms_1chip=17.8, n_devices=n)
+        assert abs(p_scaled.comm_ms - p_fresh.comm_ms) < 1e-9, (n, p_scaled, p_fresh)
+    # a report built for n=1 has no relay collectives at all: refuse to project
+    rep1 = comm_model.comm_sgm_sharded(scfg, 1080, 1920, 1, directions=4)
+    with pytest.raises(ValueError, match="built for n=1"):
+        comm_model.project(rep1, compute_ms_1chip=17.8, n_devices=8)

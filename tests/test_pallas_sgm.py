@@ -156,3 +156,16 @@ def test_scan_tiling_knobs_are_exact():
         vol, vol, reverse=True, step_block=16, lane_tile=128, **kw
     )
     np.testing.assert_array_equal(np.asarray(ref_r), np.asarray(got_r))
+
+
+def test_scan_lane_tile_below_128_rejected():
+    """ADVICE r3 (low): a lane_tile cap below one lane register (128) used to
+    be silently ignored (TT stayed 128); it must fail loudly instead."""
+    import jax.numpy as jnp
+
+    vol = jnp.zeros((8, 16, 256), jnp.float32)
+    with pytest.raises(ValueError, match="lane_tile"):
+        pallas_sgm._scan_direction(
+            vol, None, S_real=16, T_real=256, p1=4.0, p2=16.0,
+            reverse=False, lane_tile=64, interpret=True,
+        )

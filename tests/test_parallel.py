@@ -167,3 +167,20 @@ def test_sharded_hierarchical_lr_valid_equals_single(rng):
         np.testing.assert_array_equal(
             np.asarray(ref.disparity), np.asarray(got.disparity)
         )
+
+
+def test_sharded_lr_check_single_level_raises(rng):
+    """ADVICE r3 (low): lr_check with levels=1 has no refine level to produce
+    the right-view disparity — fail loudly like the single-device path."""
+    from stepth_tpu.config import PyramidConfig
+    from stepth_tpu.parallel.sharded import match_hierarchical_sharded
+
+    left, right = make_pair(rng, h=64, w=128, shift=4)
+    cfg = MatchConfig(num_disparities=16, window=9, lr_threshold=1.0)
+    pyr = PyramidConfig(levels=1, refine_radius=4, coarsest_disparities=16)
+    m = mesh_mod.make_mesh(data=1, tile=2)
+    with pytest.raises(ValueError, match="at least one refine level"):
+        match_hierarchical_sharded(
+            left, right, cfg, pyr, m, tile_rows=8, interpret=True,
+            lr_check=True,
+        )

@@ -22,12 +22,17 @@ SGM_MS = 18.1  # 1080p Pallas SGM D=64 4-dir (round 3)
 BA_MS_PER_LM = 309.0  # 128 cams / 65 536 pts / 1 048 576 obs, ms per LM iter
 
 
-def show(rep, compute_ms, configs):
-    print(f"\n=== {rep.name} (single-chip {compute_ms} ms/frame) ===")
-    print(rep.table())
+def show(build, compute_ms, configs):
+    """``build`` is a callable n → CommReport: the report is rebuilt for every
+    grid point so (n−1)-proportional relay counts and n-dependent halo/tile
+    sizing are exact at each n (comm_model.project would otherwise rescale
+    relays from the build-time n but keep halos baked)."""
+    rep8 = build(8)
+    print(f"\n=== {rep8.name} (single-chip {compute_ms} ms/frame) ===")
+    print(rep8.table())
     print(f"{'devices':>8} {'hosts':>6} {'compute':>9} {'comm':>8} {'eff':>6}")
     for n, hosts in configs:
-        p = cm.project(rep, compute_ms, n, hosts)
+        p = cm.project(build(n), compute_ms, n, hosts)
         print(f"{n:8d} {hosts:6d} {p.compute_ms:8.3f}ms {p.comm_ms:7.3f}ms "
               f"{p.efficiency*100:5.1f}%")
 
@@ -37,20 +42,22 @@ def main():
 
     cfg = MatchConfig(num_disparities=128, window=9, cost="sad")
     pyr = PyramidConfig(levels=4, refine_radius=4, coarsest_disparities=16)
-    show(cm.comm_hierarchical_sharded(cfg, pyr, 1080, 1920, 8),
+    show(lambda n: cm.comm_hierarchical_sharded(cfg, pyr, 1080, 1920, n),
          FLAGSHIP_MS, grid)
-    show(cm.comm_hierarchical_sharded(cfg, pyr, 1080, 1920, 8,
-                                      coarse_backend="sgm"),
+    show(lambda n: cm.comm_hierarchical_sharded(cfg, pyr, 1080, 1920, n,
+                                                coarse_backend="sgm"),
          1.50, grid)
 
     scfg = MatchConfig(num_disparities=64, window=5, cost="sad", lr_threshold=1.0)
-    show(cm.comm_sgm_sharded(scfg, 1080, 1920, 8, directions=4, exact=True),
+    show(lambda n: cm.comm_sgm_sharded(scfg, 1080, 1920, n, directions=4,
+                                       exact=True),
          SGM_MS, grid)
-    show(cm.comm_sgm_sharded(scfg, 1080, 1920, 8, directions=4, exact=False),
+    show(lambda n: cm.comm_sgm_sharded(scfg, 1080, 1920, n, directions=4,
+                                       exact=False),
          SGM_MS, grid)
 
-    # BA: one solve call = 10 LM iters
-    show(cm.comm_ba_sharded(128, 65536, lm_iters=10, cg_iters=10),
+    # BA: one solve call = 10 LM iters (all-reduce only — n-independent report)
+    show(lambda n: cm.comm_ba_sharded(128, 65536, lm_iters=10, cg_iters=10),
          10 * BA_MS_PER_LM, grid)
 
 
