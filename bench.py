@@ -179,14 +179,91 @@ def _tunnel_precheck(budget_s: float = 90.0) -> None:
 
 
 def main():
+    """Headline measurement, engineered to always emit its JSON line.
+
+    Round-3 post-mortem (VERDICT r3 #1): the driver bench timed out mid-compile
+    and produced *nothing* — a kernel edit had invalidated the persistent
+    compile cache and the old structure compiled three separate flagship
+    programs (fn, looped(5), looped(55)) through the remote-compile tunnel
+    before printing anything. Structural fixes here:
+
+    * ONE compiled program total: a traced-trip-count ``fori_loop`` serves the
+      first-step check, the latency chain, and both two-point throughput
+      measurements (and the edge-scene extra — same shapes ⇒ same executable).
+    * CPU baselines run *before* any TPU work (fast, tunnel-independent), so
+      the headline JSON prints the moment the throughput number exists.
+    * A watchdog thread with a wall-clock budget (``STEPTH_BENCH_BUDGET_S``,
+      default 480 s) emits a degraded-but-parseable JSON from whatever partial
+      measurements exist instead of dying silently, then exits 0. The thread
+      runs while the main thread is blocked inside XLA (GIL released).
+    """
     import os
+    import threading
+
+    budget_s = float(os.environ.get("STEPTH_BENCH_BUDGET_S", "480"))
+    t_start = time.monotonic()
+    partial: dict = {}
+    emitted = threading.Event()
+
+    def emit(value, vs_baseline, degraded=False, reason=None):
+        if emitted.is_set():
+            return
+        emitted.set()
+        obj = {
+            "metric": "stereo frames/s/chip at 1080p",
+            "value": round(float(value), 2),
+            "unit": "frames/s",
+            "vs_baseline": round(float(vs_baseline), 1),
+        }
+        if degraded:
+            obj["degraded"] = True
+            obj["degraded_reason"] = reason
+        print(json.dumps(obj), flush=True)
+
+    def watchdog():
+        remaining = budget_s - (time.monotonic() - t_start)
+        if remaining > 0:
+            emitted.wait(remaining)
+        if emitted.is_set():
+            return
+        base = partial.get("baseline_fps") or 1e-9
+        if "latency_fps" in partial:
+            val, why = partial["latency_fps"], (
+                "budget hit before device-throughput loop; value is the "
+                "dispatch-chained latency rate"
+            )
+        elif "first_step_s" in partial:
+            val, why = 1.0 / partial["first_step_s"], (
+                "budget hit after first step; value is 1/(first-step time), "
+                "a gross underestimate"
+            )
+        else:
+            val, why = 0.0, "budget hit during compile; no measurement exists"
+        print(f"[bench] WATCHDOG: {budget_s:.0f}s budget exhausted — {why}",
+              file=sys.stderr, flush=True)
+        emit(val, val / base, degraded=True, reason=why)
+        os._exit(0)
+
+    threading.Thread(target=watchdog, daemon=True).start()
 
     _tunnel_precheck()
 
+    left_np, right_np = make_pair(H, W)
+
+    # CPU baselines first: tunnel-independent and ~seconds (numpy twin is
+    # cached in BENCH_CPU_BASELINE.json after its one ~100 s measurement).
+    native_fps, numpy_fps = cpu_baseline_fps(left_np, right_np)
+    if native_fps is not None:
+        print(f"[bench] C++ 8-thread baseline: {native_fps:.2f} frames/s",
+              file=sys.stderr)
+    print(f"[bench] numpy-cpu baseline: {numpy_fps:.4f} frames/s", file=sys.stderr)
+    baseline_fps = native_fps if native_fps is not None else numpy_fps
+    partial["baseline_fps"] = baseline_fps
+
     import jax
 
-    # persistent compilation cache: the fused kernel's first compile is ~8 min
-    # through the remote-compile tunnel; cached reruns skip it
+    # persistent compilation cache: a cold compile of the flagship program is
+    # ~3-8 min through the remote-compile tunnel; cached reruns take seconds
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
@@ -199,7 +276,6 @@ def main():
     from stepth_tpu.config import MatchConfig, PyramidConfig
     from stepth_tpu.match import pallas_refine
 
-    left_np, right_np = make_pair(H, W)
     # flagship single-chip config (BASELINE.md config 3): 1080p hierarchical
     # coarse-to-fine, all levels on Pallas kernels, effective 128-disparity
     # range (16 × 2^3)
@@ -209,25 +285,38 @@ def main():
     left = jnp.asarray(left_np)
     right = jnp.asarray(right_np)
 
-    # Chain iterations through a data dependency (the tunneled device completes
-    # block_until_ready before execution finishes, so naive per-call timing
-    # under-counts; a dependent chain + one readback measures real device time,
-    # and the two-point difference removes the fixed round-trip overhead).
-    fn = jax.jit(
-        lambda l, r: pallas_refine.match_hierarchical_pallas(l, r, cfg, pyr).disparity
-    )
+    # THE one compiled program. Trip count ``n`` is a traced argument, so
+    # every call below — first step (n=1), latency chain (n=1 per dispatch),
+    # both throughput points (n=5/55) and the edge scene — reuses this
+    # executable. Iterations chain through a data dependency (the tunneled
+    # device returns from block_until_ready before execution finishes, so
+    # naive per-call timing under-counts; a dependent chain + one readback
+    # measures real device time, and two-point differences remove the fixed
+    # dispatch/readback overhead).
+    @jax.jit
+    def run_n(l0, r, n):
+        def body(_, carry):
+            l, _d = carry
+            d = pallas_refine.match_hierarchical_pallas(l, r, cfg, pyr).disparity
+            return (l0 + d[:1, :1] * 1e-6, d)
+
+        return jax.lax.fori_loop(
+            0, n, body, (l0, jnp.zeros(l0.shape, jnp.float32))
+        )[1]
 
     t0 = time.perf_counter()
-    out = fn(left, right)
+    out = run_n(left, right, 1)
     _ = float(jnp.sum(out[:1, :8]))
     compile_s = time.perf_counter() - t0
-    print(f"[bench] compile+first-step: {compile_s:.1f}s on {jax.devices()[0]}", file=sys.stderr)
+    partial["first_step_s"] = compile_s
+    print(f"[bench] compile+first-step: {compile_s:.1f}s on {jax.devices()[0]}",
+          file=sys.stderr)
 
     def chain(n):
         l = left
         t0 = time.perf_counter()
         for _ in range(n):
-            out = fn(l, right)
+            out = run_n(l, right, 1)
             l = left + out[:1, :1] * 1e-6
         _ = float(jnp.sum(out[:1, :8]))
         return time.perf_counter() - t0, out
@@ -237,42 +326,35 @@ def main():
     # tunnel adds ~2 ms/dispatch that a local host would not pay); median of
     # three two-point estimates.
     estimates = []
-    out = None
     for _ in range(3):
         t1, _ = chain(10)
-        t2, out = chain(60)
-        estimates.append(max((t2 - t1) / 50, 1e-9))
+        t2, out = chain(30)
+        estimates.append(max((t2 - t1) / 20, 1e-9))
     lat_frame = sorted(estimates)[1]
+    partial["latency_fps"] = 1.0 / lat_frame
     print(
         f"[bench] dispatch-chained latency: {1.0/lat_frame:.2f} frames/s"
         f" ({lat_frame*1e3:.3f} ms/frame incl. host round-trip)",
         file=sys.stderr,
     )
 
-    # Headline THROUGHPUT: frames computed back-to-back on the device — a
-    # fori_loop of data-dependency-chained matches inside one jit. Sustained
-    # streaming reaches this rate because host dispatches overlap device
-    # execution; the two-point (5 vs 55 iterations) difference cancels the
-    # fixed dispatch/readback cost.
-    def looped(n):
-        def body(_, l):
-            r = pallas_refine.match_hierarchical_pallas(l, right, cfg, pyr)
-            return left + r.disparity[:1, :1] * 1e-6
+    def throughput(l, r, reps=3):
+        """Two-point (n=5 vs n=55) device throughput, median of ``reps``."""
+        est = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _ = float(jnp.sum(run_n(l, r, 5)[:1, :8]))
+            t1 = time.perf_counter()
+            _ = float(jnp.sum(run_n(l, r, 55)[:1, :8]))
+            t2 = time.perf_counter()
+            est.append(((t2 - t1) - (t1 - t0)) / 50)
+        return sorted(est)[len(est) // 2]
 
-        return jax.jit(lambda l: jax.lax.fori_loop(0, n, body, l))
-
-    f1, f2 = looped(5), looped(55)
-    for f in (f1, f2):
-        _ = float(jnp.sum(f(left)[:1, :8]))
-    estimates = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _ = float(jnp.sum(f1(left)[:1, :8]))
-        t1 = time.perf_counter()
-        _ = float(jnp.sum(f2(left)[:1, :8]))
-        t2 = time.perf_counter()
-        estimates.append(((t2 - t1) - (t1 - t0)) / 50)
-    per_frame = sorted(estimates)[1]
+    # Headline THROUGHPUT: frames computed back-to-back on the device.
+    # Sustained streaming reaches this rate because host dispatches overlap
+    # device execution.
+    throughput(left, right, reps=1)  # warm both trip counts
+    per_frame = throughput(left, right)
     fps = 1.0 / per_frame
     print(
         f"[bench] tpu 1080p hierarchical-pallas (eff. D=128): {fps:.2f} frames/s"
@@ -280,28 +362,31 @@ def main():
         file=sys.stderr,
     )
 
-    native_fps, numpy_fps = cpu_baseline_fps(left_np, right_np)
-    if native_fps is not None:
-        print(
-            f"[bench] C++ 8-thread baseline: {native_fps:.2f} frames/s",
-            file=sys.stderr,
-        )
-    print(f"[bench] numpy-cpu baseline: {numpy_fps:.4f} frames/s", file=sys.stderr)
-    baseline_fps = native_fps if native_fps is not None else numpy_fps
-
     tpu_med = float(np.median(np.asarray(out)[50:-50, 100:-100]))
     print(f"[bench] median disparity tpu={tpu_med:.2f} want=24", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "stereo frames/s/chip at 1080p",
-                "value": round(fps, 2),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / baseline_fps, 1),
-            }
+    # the driver's line — printed the moment the headline exists; everything
+    # after this is stderr-only extra credit
+    emit(fps, fps / baseline_fps)
+
+    # Edge-bearing scene (VERDICT r3 #3): the smooth headline texture lets
+    # every tile take the single-window fast path; the box scene (layered
+    # occlusion, disparity steps ≈ 0.3·dmax) exercises the multi-window
+    # machinery. Same shapes ⇒ same executable, no extra compile.
+    try:
+        from stepth_tpu.utils import scenes
+
+        sc = scenes.make_scene("box", H, W, 128, seed=1)
+        le, re_ = jnp.asarray(sc.left), jnp.asarray(sc.right)
+        throughput(le, re_, reps=1)
+        per_edge = throughput(le, re_)
+        print(
+            f"[bench] edge-scene (box) 1080p: {1.0/per_edge:.2f} frames/s"
+            f" ({per_edge*1e3:.3f} ms/frame device throughput)",
+            file=sys.stderr,
         )
-    )
+    except Exception as e:  # noqa: BLE001 — extra credit only
+        print(f"[bench] edge-scene extra skipped: {e}", file=sys.stderr)
 
 
 def bench_extra():
