@@ -2,4 +2,10 @@
 optimization, and distributed Schur-complement bundle adjustment (greenfield;
 BASELINE.md config 5)."""
 
-from stepth_tpu.fusion import ba, depthfusion, geometry, posegraph  # noqa: F401
+from stepth_tpu.fusion import (  # noqa: F401
+    ba,
+    depthfusion,
+    geometry,
+    posegraph,
+    resumable,
+)

@@ -82,3 +82,105 @@ def test_ba_checkpoint_kill_resume(tmp_path, rng):
     straight = ba.solve(problem, iters=10, cg_iters=8)
     np.testing.assert_array_equal(resumed["poses"], np.asarray(straight.poses))
     np.testing.assert_array_equal(resumed["points"], np.asarray(straight.points))
+
+
+def test_solve_resumable_interrupt_resume(tmp_path, rng):
+    """The production path (fusion.resumable): a solve interrupted after any
+    checkpointed segment continues bit-for-bit when simply rerun."""
+    import jax.numpy as jnp
+
+    from tests.test_fusion_ba import make_problem
+    from stepth_tpu.fusion import ba, resumable
+
+    problem, _, _ = make_problem(rng, n_cams=4, n_pts=40, perturb=0.05)
+    ckpt = str(tmp_path / "resumable.npz")
+
+    class Die(Exception):
+        pass
+
+    def killer(done, state):
+        if done == 4:
+            raise Die()  # simulated death AFTER the segment checkpoint
+
+    try:
+        resumable.solve_resumable(
+            problem, ckpt, iters=10, cg_iters=8, every=2, on_segment=killer
+        )
+        raise AssertionError("killer hook never fired")
+    except Die:
+        pass
+    meta = __import__("stepth_tpu.utils.checkpoint", fromlist=["metadata"]).metadata(ckpt)
+    assert meta["iter"] == 4 and meta["total_iters"] == 10
+
+    # rerun THE SAME CALL — it must resume at iter 4, not restart
+    st = resumable.solve_resumable(problem, ckpt, iters=10, cg_iters=8, every=2)
+    straight = ba.solve(problem, iters=10, cg_iters=8)
+    np.testing.assert_array_equal(np.asarray(st.poses), np.asarray(straight.poses))
+    np.testing.assert_array_equal(np.asarray(st.points), np.asarray(straight.points))
+
+    # a third call is a no-op restore of the completed state
+    again = resumable.solve_resumable(problem, ckpt, iters=10, cg_iters=8, every=2)
+    np.testing.assert_array_equal(np.asarray(again.poses), np.asarray(st.poses))
+
+
+_RESUMABLE_WORKER = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+sys.path.insert(0, sys.argv[3])
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+import jax.numpy as jnp
+from stepth_tpu.fusion import ba, resumable
+
+ckpt, out, repo, die_at = sys.argv[1], sys.argv[2], sys.argv[3], int(sys.argv[4])
+prob_npz = np.load(os.path.join(os.path.dirname(ckpt), "problem.npz"))
+problem = ba.BAProblem(**{k: jnp.asarray(v) for k, v in prob_npz.items()})
+
+def hook(done, state):
+    if done == die_at:
+        os._exit(17)  # preemption: no cleanup, no goodbye
+
+st = resumable.solve_resumable(problem, ckpt, iters=10, cg_iters=8, every=2,
+                               on_segment=hook)
+np.savez(out, poses=np.asarray(st.poses), points=np.asarray(st.points))
+"""
+
+
+def test_supervisor_relaunches_until_done(tmp_path, rng):
+    """supervise() + solve_resumable close the loop: the worker process is
+    killed mid-run (twice), the supervisor relaunches it, and the final
+    result equals an uninterrupted solve bit-for-bit."""
+    from tests.test_fusion_ba import make_problem
+    from stepth_tpu.fusion import ba
+    from stepth_tpu.utils import supervisor
+
+    problem, _, _ = make_problem(rng, n_cams=4, n_pts=40, perturb=0.05)
+    np.savez(
+        tmp_path / "problem.npz",
+        **{k: np.asarray(v) for k, v in problem._asdict().items()},
+    )
+    worker = tmp_path / "worker.py"
+    worker.write_text(_RESUMABLE_WORKER)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ckpt = str(tmp_path / "sup_ckpt.npz")
+    out = str(tmp_path / "sup_final.npz")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+
+    # die after iter 2 on attempt 0, after iter 6 on attempt 1, then finish
+    def argv(attempt):
+        die_at = {0: "2", 1: "6"}.get(attempt, "-1")
+        return [sys.executable, str(worker), ckpt, out, repo, die_at]
+
+    logs = []
+    rc = supervisor.supervise(
+        argv, max_restarts=3, backoff_s=0.01, env=env,
+        attempt_timeout_s=600, log=logs.append,
+    )
+    assert rc == 0, logs
+    assert any("recovered after 2 restart(s)" in m for m in logs), logs
+
+    final = np.load(out)
+    straight = ba.solve(problem, iters=10, cg_iters=8)
+    np.testing.assert_array_equal(final["poses"], np.asarray(straight.poses))
+    np.testing.assert_array_equal(final["points"], np.asarray(straight.points))

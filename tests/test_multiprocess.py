@@ -97,3 +97,64 @@ def test_two_process_sgm_carry_relay():
     outs = _run_drill("sgm", {0: {0}, 1: {0}}, timeout_s=420)
     assert "sgm drill OK" in outs[0]
     assert "sgm drill OK" in outs[1]
+
+
+def test_two_process_supervised_resume_shrunken_mesh(tmp_path):
+    """The full recovery chain as a capability (VERDICT r3 item 7): worker 1
+    dies without goodbye after the first checkpointed BA segment; worker 0's
+    coordination-service heartbeat fail-fasts it (detection); the supervisor
+    relaunches the survivor single-process, which rebuilds its mesh from the
+    4 devices it still owns (fusion.resumable.auto_mesh — the shrunken mesh)
+    and resumes from the checkpoint to completion."""
+    import numpy as np
+
+    from stepth_tpu.utils import supervisor
+
+    port = _free_port()
+    env_common = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    env_common["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env_common["PYTHONPATH"] = _ROOT + os.pathsep + env_common.get("PYTHONPATH", "")
+    env_common["STEPTH_CKPT_DIR"] = str(tmp_path)
+
+    # phase 1: 2-process run; worker 1 dies after iter 2 (segment 1)
+    def spawn(pid, nprocs, extra_env):
+        env = dict(env_common, **extra_env)
+        return subprocess.Popen(
+            [sys.executable, _WORKER, str(pid), str(nprocs), str(port),
+             "resumable"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+
+    procs = [
+        spawn(0, 2, {}),
+        spawn(1, 2, {"STEPTH_DIE_AT": "2"}),
+    ]
+    outs = {}
+    deadline = time.monotonic() + 420
+    try:
+        for i, p in enumerate(procs):
+            left = max(1.0, deadline - time.monotonic())
+            outs[i], _ = p.communicate(timeout=left)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    assert procs[1].returncode == 43, outs  # died as scripted
+    # worker 0 must NOT have completed: it was fail-fasted by the heartbeat
+    assert procs[0].returncode != 0, outs[0]
+    assert "resumable drill OK" not in outs[0], outs[0]
+    ckpt = tmp_path / "ba_resumable_p0.npz"
+    assert ckpt.exists(), outs[0]
+
+    # phase 2: supervisor relaunches the survivor standalone (shrunken mesh)
+    logs = []
+    rc = supervisor.supervise(
+        lambda attempt: [sys.executable, _WORKER, "0", "1", str(port),
+                         "resumable"],
+        max_restarts=1, backoff_s=0.01, env=env_common,
+        attempt_timeout_s=300, log=logs.append,
+    )
+    assert rc == 0, (logs, outs)
+    final = np.load(tmp_path / "final_p0.npz")
+    assert float(final["cost"]) < 1e-4, final["cost"]
