@@ -73,7 +73,12 @@ class PyramidConfig:
     # Cap on adaptive per-tile base windows in the Pallas refiner: tiles whose
     # prior spans a disparity discontinuity search up to this many base ± R
     # windows; 1 restores the round-2 single-base-per-tile kernel.
-    refine_windows: int = 4
+    # Default 6 from the measured round-4 frontier (tools/refine_frontier.py,
+    # 1080p eff-D=128, tile_rows=64 on v5e): 6 windows cost the same as 4 on
+    # smooth content (1.72 vs 1.74 ms/frame — skipped tiles are free) and
+    # +0.13 ms on the edge-heavy box scene, while halving bad3 on both
+    # ground-truth edge scenes (box 5.11→3.15 %, ellipses 7.94→3.23 %).
+    refine_windows: int = 6
 
 
 @dataclasses.dataclass(frozen=True)

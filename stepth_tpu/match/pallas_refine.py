@@ -405,7 +405,15 @@ def tile_windows_from_prior(
         # loads handle pathologically)
         bases = jnp.broadcast_to(b_mean[..., None], (*b_mean.shape, 2))
         return bases, jnp.ones_like(b_mean)
-    sub = t.reshape(nr, tile_rows // 8, 8, nc, _TW // 8, 8).mean(axis=(2, 5))
+    # 8×8 subtile means via an avg-pool: reduce_window lowers to the TPU's
+    # native pooling. The previous 6-D reshape+mean split the 128-lane dim
+    # 16×8, forcing a relayout that cost ~0.38 ms per level at 1080p — the
+    # entire "multi-window overhead" on smooth scenes was this planning op,
+    # not the (pl.when-skipped) kernel windows (tools/refine_frontier.py).
+    pooled = jax.lax.reduce_window(
+        prior, 0.0, jax.lax.add, (8, 8), (8, 8), "VALID"
+    ) * (1.0 / 64.0)
+    sub = pooled.reshape(nr, tile_rows // 8, nc, _TW // 8)
     sub = sub.transpose(0, 2, 1, 3).reshape(nr, nc, -1)  # [nr, nc, n_sub]
     pmin = sub.min(axis=-1)
     pmax = sub.max(axis=-1)

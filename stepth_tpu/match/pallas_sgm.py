@@ -575,6 +575,274 @@ def _wta_from_volume(
 
 
 # ---------------------------------------------------------------------------
+# Kernel D: final scan direction with WTA fused in (4-direction fast path)
+# ---------------------------------------------------------------------------
+
+
+def _scan_wta_kernel(
+    v_ref,
+    acc_ref,
+    disp_ref,
+    dispr_ref,
+    cbest_ref,
+    uok_ref,
+    carry,
+    l_scr,
+    best,
+    bestd,
+    cm1,
+    cb,
+    cp1,
+    prevb,
+    second,
+    runlag2,
+    rbest,
+    rarg,
+    bndv_loc,
+    bnda_loc,
+    bnd_v,
+    bnd_a,
+    *,
+    BS,
+    D,
+    TT,
+    S_real,
+    T_real,
+    p1,
+    p2,
+    uniqueness,
+    BND,
+):
+    """The ↑y (reverse vertical) scan of the 4-direction pipeline with the
+    whole WTA epilogue fused into it: per grid step the recurrence writes its
+    ``L`` block to VMEM scratch instead of HBM, and a d-loop over
+    ``l_scr[d] + acc[d]`` planes runs the exact :func:`_wta_kernel` update
+    (running WTA + subpixel neighbors + uniqueness + right-view WTA) — the
+    final direction's full-volume HBM write and the WTA kernel's full-volume
+    read both disappear, and the arithmetic (order of adds, tie-breaks) is
+    bit-identical to the unfused path.
+
+    Right-view WTA across lane tiles: ``bestr(u) = min_d agg(u+d, d)`` reaches
+    up to ``D−1`` columns right of ``u``. Lane tiles are processed
+    right-to-left (the T grid axis is reversed by the index maps), and the
+    contributions a tile owes its LEFT neighbor — exactly the wrapped lanes of
+    the per-d roll — accumulate in a per-row boundary scratch
+    (``bnd_v/bnd_a``, last ``BND`` lanes) that the neighbor folds in one tile
+    later. In-tile candidates carry smaller disparities than boundary ones
+    (d < TT−q vs d ≥ TT−q), so the first-minimum tie-break is ``local <=
+    boundary``."""
+    t = pl.program_id(0)  # reversed: raw t ⇒ logical lane tile nt−1−t
+    j = pl.program_id(1)
+    ns = pl.num_programs(1)
+    nt = pl.num_programs(0)
+    t_log = nt - 1 - t
+
+    @pl.when(j == 0)
+    def _init():
+        carry[:] = jnp.zeros((D, TT), jnp.float32)
+
+    tcol = jax.lax.broadcasted_iota(jnp.int32, (1, TT), 1) + t_log * TT
+    q_iota = jax.lax.broadcasted_iota(jnp.int32, (1, TT), 1)
+    drow = jax.lax.broadcasted_iota(jnp.int32, (D, 1), 0)
+    up_edge = drow == 0
+    dn_edge = drow == D - 1
+
+    blk = ns - 1 - j  # reverse scan
+    # ---- recurrence (identical to _scan_kernel, reverse, shift=0) ----
+    for k in range(BS):
+        idx = BS - 1 - k
+        s = blk * BS + idx
+        prev = carry[:]
+        min_l = jnp.min(prev, axis=0, keepdims=True)
+        up = jnp.where(up_edge, _BIG, pltpu.roll(prev, 1, axis=0))
+        dn = jnp.where(dn_edge, _BIG, pltpu.roll(prev, D - 1, axis=0))
+        cand = jnp.minimum(prev, jnp.minimum(up, dn) + p1)
+        cand = jnp.minimum(cand, min_l + p2)
+        c = v_ref[:, idx, :].astype(jnp.float32)
+        L = (c + cand) - min_l
+        L = jnp.where(s < S_real, L, 0.0)
+        l_scr[:, idx, :] = L
+        carry[:] = L
+
+    # ---- fused WTA over the block's rows ----
+    big2d = jnp.full((BS, TT), _BIG, jnp.float32)
+    zero2d = jnp.zeros((BS, TT), jnp.float32)
+    best[:] = big2d
+    bestd[:] = jnp.zeros((BS, TT), jnp.int32)
+    cm1[:] = zero2d
+    cb[:] = big2d
+    cp1[:] = big2d
+    prevb[:] = zero2d
+    rbest[:] = big2d
+    rarg[:] = jnp.zeros((BS, TT), jnp.float32)
+    bndv_loc[:] = big2d
+    bnda_loc[:] = jnp.zeros((BS, TT), jnp.float32)
+    if uniqueness is not None:
+        second[:] = big2d
+        runlag2[:] = big2d
+
+    src_bad = tcol >= T_real  # source column out of image (for right WTA)
+
+    # static unroll over d: the per-d lane rolls and in-tile masks become
+    # compile-time shuffles/constants (a fori_loop's dynamic-shift rolls
+    # measured ~3x the standalone WTA kernel's static ones)
+    for d in range(D):
+        aggc = l_scr[d] + acc_ref[d].astype(jnp.float32)  # [BS, TT]
+
+        upd = aggc < best[:]
+        is_next = jnp.logical_and(jnp.logical_not(upd), bestd[:] == d - 1)
+        cm1[:] = jnp.where(upd, prevb[:], cm1[:])
+        cb[:] = jnp.where(upd, aggc, cb[:])
+        cp1[:] = jnp.where(is_next, aggc, cp1[:])
+
+        if uniqueness is not None:
+            far = jnp.logical_and(jnp.logical_not(upd), d > bestd[:] + 1)
+            second[:] = jnp.where(upd, runlag2[:], second[:])
+            second[:] = jnp.where(far, jnp.minimum(second[:], aggc), second[:])
+            if d < 1:
+                runlag2[:] = jnp.minimum(runlag2[:], prevb[:] + _BIG)
+            else:
+                runlag2[:] = jnp.minimum(runlag2[:], prevb[:])
+
+        best[:] = jnp.where(upd, aggc, best[:])
+        bestd[:] = jnp.where(upd, d, bestd[:])
+        prevb[:] = aggc
+
+        # right WTA: in-tile lanes q < TT−d sample this tile; wrapped lanes
+        # q ≥ TT−d are the left neighbor's candidates at the same q
+        rolled = pltpu.roll(jnp.where(src_bad, _BIG, aggc), (TT - d) % TT, axis=1)
+        intile = q_iota < TT - d
+        updr = jnp.logical_and(intile, rolled < rbest[:])
+        rbest[:] = jnp.where(updr, rolled, rbest[:])
+        rarg[:] = jnp.where(updr, jnp.float32(d), rarg[:])
+        if d > 0:  # d=0 has no wrapped lanes
+            bupd = jnp.logical_and(jnp.logical_not(intile), rolled < bndv_loc[:])
+            bndv_loc[:] = jnp.where(bupd, rolled, bndv_loc[:])
+            bnda_loc[:] = jnp.where(bupd, jnp.float32(d), bnda_loc[:])
+
+    row0 = pl.multiple_of(blk * BS, 8)
+
+    # fold in the right neighbor's boundary candidates (all have d ≥ TT−q >
+    # any in-tile d, so ties keep the local value)
+    @pl.when(t > 0)
+    def _merge():
+        pv = bnd_v[pl.ds(row0, BS), :]
+        pa = bnd_a[pl.ds(row0, BS), :]
+        rb_hi = rbest[:, TT - BND :]
+        ra_hi = rarg[:, TT - BND :]
+        take = rb_hi <= pv
+        rbest[:, TT - BND :] = jnp.where(take, rb_hi, pv)
+        rarg[:, TT - BND :] = jnp.where(take, ra_hi, pa)
+
+    bnd_v[pl.ds(row0, BS), :] = bndv_loc[:, TT - BND :]
+    bnd_a[pl.ds(row0, BS), :] = bnda_loc[:, TT - BND :]
+
+    # ---- epilogue: subpixel + uniqueness gate, block writes ----
+    bd = bestd[:]
+    denom = cm1[:] - 2.0 * cb[:] + cp1[:]
+    delta = jnp.where(
+        jnp.abs(denom) > 1e-6, (cm1[:] - cp1[:]) / (2.0 * denom), 0.0
+    )
+    delta = jnp.clip(delta, -0.5, 0.5)
+    interior = (bd >= 1) & (bd <= D - 2)
+    disp = jnp.where(
+        interior, bd.astype(jnp.float32) + delta, bd.astype(jnp.float32)
+    )
+    disp_ref[:] = disp
+    dispr_ref[:] = rarg[:]
+    cbest_ref[:] = cb[:]
+    uok_ref[:] = (
+        jnp.ones((BS, TT), jnp.float32)
+        if uniqueness is None
+        else (cb[:] * (1.0 + uniqueness) <= second[:]).astype(jnp.float32)
+    )
+
+
+def _scan_wta_direction(
+    vol,
+    acc,
+    *,
+    S_real: int,
+    T_real: int,
+    p1: float,
+    p2: float,
+    cfg: MatchConfig,
+    interpret: bool = False,
+    step_block: int = 8,
+    lane_tile: Optional[int] = None,
+):
+    """Reverse axis-1 scan over ``vol`` [D, S, T] accumulating onto ``acc``,
+    with WTA fused (see :func:`_scan_wta_kernel`). Returns
+    ``(disp, dispr, cbest, uok)`` as f32[S, T] padded maps."""
+    D, S, T = vol.shape
+    BS = step_block if S % step_block == 0 else 8
+    cap = 512 if lane_tile is None else lane_tile
+    if cap < 128:
+        raise ValueError(
+            f"lane_tile cap must be >= 128 (one lane register), got {cap}"
+        )
+    TT = 128
+    for cand in range(cap // 128 * 128, 127, -128):
+        if T % cand == 0:
+            TT = cand
+            break
+    BND = min(128, TT)
+    if D > BND:
+        raise ValueError(f"D={D} exceeds the {BND}-lane boundary band")
+    kern = functools.partial(
+        _scan_wta_kernel,
+        BS=BS,
+        D=D,
+        TT=TT,
+        S_real=S_real,
+        T_real=T_real,
+        p1=float(p1),
+        p2=float(p2),
+        uniqueness=None if cfg.uniqueness is None else float(cfg.uniqueness),
+        BND=BND,
+    )
+    nt = T // TT
+    ns = S // BS
+    # T grid axis reversed: lane tiles run right-to-left so the right-WTA
+    # boundary scratch is written before its (left) consumer reads it
+    imap = lambda t, j, ns=ns, nt=nt: (0, ns - 1 - j, nt - 1 - t)  # noqa: E731
+    omap = lambda t, j, ns=ns, nt=nt: (ns - 1 - j, nt - 1 - t)  # noqa: E731
+    out2d = pl.BlockSpec((BS, TT), omap)
+    sc_f = pltpu.VMEM((BS, TT), jnp.float32)
+    sc_i = pltpu.VMEM((BS, TT), jnp.int32)
+    disp, dispr, cbest, uok = pl.pallas_call(
+        kern,
+        grid=(nt, ns),
+        in_specs=[
+            pl.BlockSpec((D, BS, TT), imap),
+            pl.BlockSpec((D, BS, TT), imap),
+        ],
+        out_specs=[out2d] * 4,
+        out_shape=[jax.ShapeDtypeStruct((S, T), jnp.float32)] * 4,
+        scratch_shapes=[
+            pltpu.VMEM((D, TT), jnp.float32),  # carry
+            pltpu.VMEM((D, BS, TT), jnp.float32),  # L block
+            sc_f,  # best
+            sc_i,  # bestd
+            sc_f,  # cm1
+            sc_f,  # cb
+            sc_f,  # cp1
+            sc_f,  # prevb
+            sc_f,  # second
+            sc_f,  # runlag2
+            sc_f,  # rbest
+            sc_f,  # rarg
+            sc_f,  # bnd val (local)
+            sc_f,  # bnd arg (local)
+            pltpu.VMEM((S, BND), jnp.float32),  # bnd val (cross-tile)
+            pltpu.VMEM((S, BND), jnp.float32),  # bnd arg (cross-tile)
+        ],
+        interpret=interpret,
+    )(vol, acc)
+    return disp, dispr, cbest, uok
+
+
+# ---------------------------------------------------------------------------
 # Full pipeline
 # ---------------------------------------------------------------------------
 
@@ -609,20 +877,51 @@ def match_pair_sgm_pallas(
         lg, rg, cfg, tile_rows, interpret, dtype=vdtype
     )
     scale = float(cfg.window * cfg.window) if cfg.window > 1 else 1.0
-    agg = aggregate_pallas(
-        vol,
-        sgm,
-        sgm.p1 * scale,
-        sgm.p2 * scale,
-        S_dims=(h, w),
-        interpret=interpret,
-    )
-    disp, _, cbest, valid_f = _wta_from_volume(
-        agg, Wr=w, cfg=cfg, tile_rows=tile_rows, interpret=interpret
-    )
-    disp = disp[:h, :w]
-    cbest = cbest[:h, :w]
-    valid = valid_f[:h, :w] > 0.5
+    p1s, p2s = sgm.p1 * scale, sgm.p2 * scale
+    if sgm.directions == 4:
+        # fast path: the final (↑y) direction runs with WTA fused in — the
+        # last full-volume write and the WTA kernel's full-volume read both
+        # vanish (measured ~2.5 ms of the 18 ms round-3 pipeline), with
+        # bit-identical arithmetic to the unfused path. LR validity runs on
+        # the two 2-D disparity maps afterwards (pallas_post twin of
+        # dense.lr_consistency — the same predicate the fused-out WTA kernel
+        # evaluated inline).
+        kw = dict(p1=p1s, p2=p2s, interpret=interpret,
+                  step_block=sgm.step_block, lane_tile=sgm.lane_tile)
+        volT = jnp.swapaxes(vol, 1, 2)
+        acc = _scan_direction(volT, None, S_real=w, T_real=h, reverse=False, **kw)
+        acc = _scan_direction(volT, acc, S_real=w, T_real=h, reverse=True, **kw)
+        accN = jnp.swapaxes(acc, 1, 2)
+        accN = _scan_direction(vol, accN, S_real=h, T_real=w, reverse=False, **kw)
+        disp_p, dispr_p, cbest_p, uok_p = _scan_wta_direction(
+            vol, accN, S_real=h, T_real=w, p1=p1s, p2=p2s, cfg=cfg,
+            interpret=interpret, step_block=sgm.step_block,
+            lane_tile=sgm.lane_tile,
+        )
+        disp = disp_p[:h, :w]
+        cbest = cbest_p[:h, :w]
+        valid = uok_p[:h, :w] > 0.5
+        if cfg.lr_threshold is not None:
+            lr_ok = pallas_post.lr_consistency_pallas(
+                disp, dispr_p[:h, :w], float(cfg.lr_threshold),
+                num_disparities=cfg.num_disparities, interpret=interpret,
+            )
+            valid = jnp.logical_and(valid, lr_ok)
+    else:
+        agg = aggregate_pallas(
+            vol,
+            sgm,
+            p1s,
+            p2s,
+            S_dims=(h, w),
+            interpret=interpret,
+        )
+        disp, _, cbest, valid_f = _wta_from_volume(
+            agg, Wr=w, cfg=cfg, tile_rows=tile_rows, interpret=interpret
+        )
+        disp = disp[:h, :w]
+        cbest = cbest[:h, :w]
+        valid = valid_f[:h, :w] > 0.5
     disp = pallas_post.fill_invalid_pallas(disp, valid, interpret=interpret)
     disp = pallas_post.median3_pallas(disp, interpret=interpret)
     return dense.MatchResult(disparity=disp, valid=valid, cost=cbest)

@@ -76,6 +76,19 @@ class CommReport:
             if kind is None or c.kind == kind
         )
 
+    def op_counts(self, kind: Optional[str] = None, serial: Optional[bool] = None) -> int:
+        """Σ count — executions per frame/solve. ``serial`` filters to relay
+        chains (True) or parallel neighbor exchanges (False); these counts are
+        the time model's critical-path inputs (a relay pays every hop
+        sequentially, halos pay one payload regardless of n), validated
+        op-for-op against compiled HLO in tests/test_comm_model.py."""
+        return sum(
+            c.count
+            for c in self.collectives
+            if (kind is None or c.kind == kind)
+            and (serial is None or bool(c.serial_hops) == serial)
+        )
+
     def table(self) -> str:
         rows = [
             f"  {c.kind:9s} {c.label:44s} {c.payload_bytes/1e3:10.1f} kB × {c.count}"
@@ -280,6 +293,17 @@ def hlo_collective_bytes(compiled_text: str):
     for m in _COLL_RE.finditer(compiled_text):
         kind = "permute" if m.group(2) == "collective-permute" else "allreduce"
         out[kind] += _shape_bytes(m.group(1))
+    return out
+
+
+def hlo_collective_counts(compiled_text: str):
+    """Number of collective-permute / all-reduce *ops* in a compiled HLO dump
+    — the time model's critical-path input (relay chains unroll to one op per
+    hop; parallel halo exchanges appear once per exchange regardless of n)."""
+    out = {"permute": 0, "allreduce": 0}
+    for m in _COLL_RE.finditer(compiled_text):
+        kind = "permute" if m.group(2) == "collective-permute" else "allreduce"
+        out[kind] += 1
     return out
 
 

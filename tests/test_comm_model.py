@@ -135,3 +135,37 @@ def test_projection_relay_rescale():
     rep1 = comm_model.comm_sgm_sharded(scfg, 1080, 1920, 1, directions=4)
     with pytest.raises(ValueError, match="built for n=1"):
         comm_model.project(rep1, compute_ms_1chip=17.8, n_devices=8)
+
+
+def test_sgm_relay_critical_path_counts(rng):
+    """The TIME dimension of the projection (VERDICT r3 #6): project() charges
+    relay chains one sequential hop per collective and halos one payload
+    regardless of n. Validate those structural inputs against the compiled
+    programs across a device grid: the relay's op COUNT must grow as
+    n_relay × (n−1) while the halo op count stays constant."""
+    from stepth_tpu.match.sgm import SGMConfig
+    from stepth_tpu.parallel import sgm_sharded
+
+    cfg = MatchConfig(num_disparities=16, window=5, lr_threshold=1.0)
+    sgm = SGMConfig(directions=4)
+    left, right = make_pair(rng, h=128, w=128, shift=4)
+    halo_counts = {}
+    for ntile in (2, 4, 8):
+        m = mesh_mod.make_mesh(data=1, tile=ntile)
+        txt = _compiled_text(
+            lambda l, r, m=m: sgm_sharded.match_pair_sgm_sharded(
+                l, r, cfg, sgm, m, exact=True
+            ).disparity,
+            jnp.asarray(left), jnp.asarray(right),
+        )
+        got = comm_model.hlo_collective_counts(txt)
+        rep = comm_model.comm_sgm_sharded(cfg, 128, 128, ntile, directions=4,
+                                          exact=True)
+        # total op count matches the model exactly
+        assert got["permute"] == rep.op_counts("permute"), (ntile, got)
+        relay = rep.op_counts("permute", serial=True)
+        # relay grows with the chain: 2 vertical directions × (n−1) hops
+        assert relay == 2 * (ntile - 1), (ntile, relay)
+        halo_counts[ntile] = got["permute"] - relay
+    # parallel halo exchanges do not grow with n
+    assert len(set(halo_counts.values())) == 1, halo_counts
