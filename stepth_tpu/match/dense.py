@@ -168,15 +168,23 @@ def right_disparity_from_volume(agg: jax.Array) -> jax.Array:
     left-shift of one volume slice (gathers route through the TPU scalar core
     and are ~100× slower, so the shift set is the right formulation)."""
     h, w, d = agg.shape
-    slices = []
+    # Running min/argmin instead of stack+argmin: the stacked formulation
+    # materialized d intermediate [H, W, 1] copies whose 1-wide minor dim pads
+    # to a full 128-lane tile — a 128× memory blowup that OOM'd the 16 GB v5e
+    # at 1080p/D=64 (XLA remat kept ~20 of the 1 GB-padded copies live).
+    # Identical output: ascending k with a strict `<` keeps the first minimum,
+    # exactly jnp.argmin's tie-break.
+    best = jnp.full((h, w), jnp.inf, agg.dtype)
+    bestd = jnp.zeros((h, w), jnp.float32)
     for k in range(d):
         kk = min(k, w)  # disparities beyond the width are fully out of bounds
         shifted = jnp.pad(
             agg[:, kk:, k], ((0, 0), (0, kk)), constant_values=jnp.inf
         )
-        slices.append(shifted)
-    cost_r = jnp.stack(slices, axis=-1)
-    return jnp.argmin(cost_r, axis=-1).astype(jnp.float32)
+        upd = shifted < best
+        best = jnp.where(upd, shifted, best)
+        bestd = jnp.where(upd, jnp.float32(k), bestd)
+    return bestd
 
 
 def lr_consistency(

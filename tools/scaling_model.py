@@ -17,8 +17,8 @@ from stepth_tpu.config import MatchConfig, PyramidConfig
 from stepth_tpu.parallel import comm_model as cm
 
 # measured single-chip device-throughput frame times (tpu_measure.log / BASELINE.md)
-FLAGSHIP_MS = 1.43  # 1080p hierarchical-pallas eff-D=128
-SGM_MS = 18.1  # 1080p Pallas SGM D=64 4-dir (round 3)
+FLAGSHIP_MS = 1.64  # 1080p hierarchical-pallas eff-D=128, refine_windows=6 (round 4)
+SGM_MS = 15.3  # 1080p Pallas SGM D=64 4-dir, fused-WTA final scan (round 4)
 BA_MS_PER_LM = 309.0  # 128 cams / 65 536 pts / 1 048 576 obs, ms per LM iter
 
 
