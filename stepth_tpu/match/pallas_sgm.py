@@ -324,6 +324,16 @@ def _scan_direction(
         # the diagonal carry shift crosses tile boundaries, so T cannot tile;
         # the caller picks the volume orientation with the smaller T
         TT = T
+    # Scoped-VMEM clamp: the [D, BS, TT] in/acc/out blocks are double-buffered
+    # (~6 live copies); at TT = T (diagonals) the round-3 step_block=16
+    # default exceeds the 16 MB scoped limit (observed 27.3 MB at D=64,
+    # TT=1152 → compile-time OOM, which silently broke 8-direction 1080p).
+    # Halve BS until the estimate fits — the sweep's 4-direction optimum is
+    # untouched because lane-tiled scans cap TT at lane_tile.
+    while BS > 1 and 6 * D * BS * TT * 4 > 14 * 1024 * 1024:
+        BS //= 2
+    while S % BS:
+        BS //= 2
     first = acc is None
     kern = functools.partial(
         _scan_kernel,
@@ -383,14 +393,13 @@ def aggregate_pallas(
     acc = _scan_direction(volT, None, S_real=w, T_real=h, reverse=False, **kw)
     acc = _scan_direction(volT, acc, S_real=w, T_real=h, reverse=True, **kw)
     out = jnp.swapaxes(acc, 1, 2)
-    if sgm.directions >= 4:
-        out = _scan_direction(vol, out, S_real=h, T_real=w, reverse=False, **kw)
-        out = _scan_direction(vol, out, S_real=h, T_real=w, reverse=True, **kw)
     if sgm.directions == 8:
         # Diagonals are transpose-symmetric (predecessor (y−1, x−1) either
         # way), so run them on the orientation with the smaller lateral
         # extent — the whole T axis must fit one VMEM block (no tiling).
-        # Both orders below add ↘ ↙ ↗ ↖ exactly like the XLA backend.
+        # Both orders below add ↘ ↙ ↗ ↖ exactly like the XLA backend, and
+        # like it they accumulate BEFORE the vertical pair (↑y stays the
+        # final term — the fused-WTA pipeline depends on that sum order).
         _, hp, wp = vol.shape
         if wp <= hp:
             for rev, sh in ((False, 1), (False, -1), (True, 1), (True, -1)):
@@ -404,6 +413,9 @@ def aggregate_pallas(
                     volT, outT, S_real=w, T_real=h, reverse=rev, shift=sh, **kw
                 )
             out = jnp.swapaxes(outT, 1, 2)
+    if sgm.directions >= 4:
+        out = _scan_direction(vol, out, S_real=h, T_real=w, reverse=False, **kw)
+        out = _scan_direction(vol, out, S_real=h, T_real=w, reverse=True, **kw)
     return out
 
 
@@ -789,6 +801,14 @@ def _scan_wta_direction(
     BND = min(128, TT)
     if D > BND:
         raise ValueError(f"D={D} exceeds the {BND}-lane boundary band")
+    # Scoped-VMEM clamp (same estimate as _scan_direction's): the two
+    # double-buffered [D, BS, TT] inputs plus the L-block scratch exceed the
+    # 16 MB scoped limit at D=128/BS=16/TT=512 (observed 21.9 MB → AOT
+    # compile OOM); halving BS fits with the D=64 sweep optimum untouched.
+    while BS > 1 and 6 * D * BS * TT * 4 > 14 * 1024 * 1024:
+        BS //= 2
+    while S % BS:
+        BS //= 2
     kern = functools.partial(
         _scan_wta_kernel,
         BS=BS,
@@ -878,20 +898,38 @@ def match_pair_sgm_pallas(
     )
     scale = float(cfg.window * cfg.window) if cfg.window > 1 else 1.0
     p1s, p2s = sgm.p1 * scale, sgm.p2 * scale
-    if sgm.directions == 4:
+    if sgm.directions in (4, 8):
         # fast path: the final (↑y) direction runs with WTA fused in — the
         # last full-volume write and the WTA kernel's full-volume read both
         # vanish (measured ~2.5 ms of the 18 ms round-3 pipeline), with
         # bit-identical arithmetic to the unfused path. LR validity runs on
         # the two 2-D disparity maps afterwards (pallas_post twin of
         # dense.lr_consistency — the same predicate the fused-out WTA kernel
-        # evaluated inline).
+        # evaluated inline). For 8 directions the diagonals accumulate
+        # between the horizontal and vertical pairs (sgm.aggregate uses the
+        # same order, so f32 sums stay bit-identical across backends) and ↑y
+        # remains the final, fused scan.
         kw = dict(p1=p1s, p2=p2s, interpret=interpret,
                   step_block=sgm.step_block, lane_tile=sgm.lane_tile)
         volT = jnp.swapaxes(vol, 1, 2)
         acc = _scan_direction(volT, None, S_real=w, T_real=h, reverse=False, **kw)
         acc = _scan_direction(volT, acc, S_real=w, T_real=h, reverse=True, **kw)
-        accN = jnp.swapaxes(acc, 1, 2)
+        if sgm.directions == 8:
+            # same orientation choice + per-branch order as aggregate_pallas
+            # (the whole lateral axis must fit one VMEM block for diagonals)
+            _, hp_, wp_ = vol.shape
+            if wp_ <= hp_:
+                accN = jnp.swapaxes(acc, 1, 2)
+                for rev, sh in ((False, 1), (False, -1), (True, 1), (True, -1)):
+                    accN = _scan_direction(vol, accN, S_real=h, T_real=w,
+                                           reverse=rev, shift=sh, **kw)
+            else:
+                for rev, sh in ((False, 1), (True, 1), (False, -1), (True, -1)):
+                    acc = _scan_direction(volT, acc, S_real=w, T_real=h,
+                                          reverse=rev, shift=sh, **kw)
+                accN = jnp.swapaxes(acc, 1, 2)
+        else:
+            accN = jnp.swapaxes(acc, 1, 2)
         accN = _scan_direction(vol, accN, S_real=h, T_real=w, reverse=False, **kw)
         disp_p, dispr_p, cbest_p, uok_p = _scan_wta_direction(
             vol, accN, S_real=h, T_real=w, p1=p1s, p2=p2s, cfg=cfg,

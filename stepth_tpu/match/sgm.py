@@ -143,16 +143,20 @@ def aggregate(vol: jax.Array, sgm: SGMConfig, p1: float, p2: float) -> jax.Array
     out = _aggregate_dir(cols, reverse=False, shift=0, p1=p1, p2=p2)  # →x
     out = out + _aggregate_dir(cols, reverse=True, shift=0, p1=p1, p2=p2)  # ←x
     out = jnp.swapaxes(out, 0, 1)
-    if sgm.directions >= 4:
-        out = out + _aggregate_dir(vol, reverse=False, shift=0, p1=p1, p2=p2)  # ↓y
-        out = out + _aggregate_dir(vol, reverse=True, shift=0, p1=p1, p2=p2)  # ↑y
     if sgm.directions == 8:
         # Row scans with a per-step carry shift: direction (dy, dx) reads the
         # predecessor at column x−dx, i.e. the carry shifted by +dx.
+        # Diagonals accumulate BEFORE the vertical pair so that ↑y is always
+        # the final term — the Pallas pipeline fuses WTA into the final ↑y
+        # scan (pallas_sgm._scan_wta_direction) and f32 summation order must
+        # match bit-for-bit across backends.
         out = out + _aggregate_dir(vol, reverse=False, shift=+1, p1=p1, p2=p2)  # ↘
         out = out + _aggregate_dir(vol, reverse=False, shift=-1, p1=p1, p2=p2)  # ↙
         out = out + _aggregate_dir(vol, reverse=True, shift=+1, p1=p1, p2=p2)  # ↗
         out = out + _aggregate_dir(vol, reverse=True, shift=-1, p1=p1, p2=p2)  # ↖
+    if sgm.directions >= 4:
+        out = out + _aggregate_dir(vol, reverse=False, shift=0, p1=p1, p2=p2)  # ↓y
+        out = out + _aggregate_dir(vol, reverse=True, shift=0, p1=p1, p2=p2)  # ↑y
     return out
 
 

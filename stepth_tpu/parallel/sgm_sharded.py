@@ -99,14 +99,16 @@ def _aggregate_sharded(vol, sgm: sgm_mod.SGMConfig, p1, p2, *, exact: bool,
     out = local(cols, reverse=False, shift=0)  # →x
     out = out + local(cols, reverse=True, shift=0)  # ←x
     out = jnp.swapaxes(out, 0, 1)
-    if sgm.directions >= 4:
-        out = out + relay(vol, reverse=False, shift=0)  # ↓y
-        out = out + relay(vol, reverse=True, shift=0)  # ↑y
     if sgm.directions == 8:
+        # diagonals before the vertical pair — mirrors sgm.aggregate's order
+        # (↑y last, so the Pallas backend can fuse WTA into the final scan)
         out = out + relay(vol, reverse=False, shift=+1)  # ↘
         out = out + relay(vol, reverse=False, shift=-1)  # ↙
         out = out + relay(vol, reverse=True, shift=+1)  # ↗
         out = out + relay(vol, reverse=True, shift=-1)  # ↖
+    if sgm.directions >= 4:
+        out = out + relay(vol, reverse=False, shift=0)  # ↓y
+        out = out + relay(vol, reverse=True, shift=0)  # ↑y
     return out
 
 

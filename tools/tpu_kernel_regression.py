@@ -49,23 +49,38 @@ def main() -> int:
 
     failures = []
 
-    def check(name, fn):
+    def check(name, fn, exact=True):
+        """``exact=False``: allow last-ulp f32 differences — Mosaic contracts
+        a*b+c into fused multiply-adds that the interpreter (plain jnp on the
+        host) rounds separately; kernels whose arithmetic is sums/mins of
+        identical terms stay bit-exact, kernels with genuine mul-add chains
+        (bilinear weights) may differ in the final ulp."""
         got_c = jax.tree_util.tree_map(
             np.asarray, jax.jit(lambda: fn(False))()
         )
         got_i = jax.tree_util.tree_map(np.asarray, fn(True))
         flat_c = jax.tree_util.tree_leaves(got_c)
         flat_i = jax.tree_util.tree_leaves(got_i)
-        ok = all(
+        bitwise = all(
             np.array_equal(a, b, equal_nan=True) for a, b in zip(flat_c, flat_i)
         )
+        if bitwise:
+            print(f"[tpu-regression] {name}: EXACT")
+            return
         n_diff = sum(
-            int((~np.isclose(a, b, equal_nan=True)).sum())
+            int((~np.isclose(a, b, rtol=1e-6, atol=1e-5, equal_nan=True)).sum())
             for a, b in zip(flat_c, flat_i)
         )
-        print(f"[tpu-regression] {name}: {'EXACT' if ok else f'DIFFERS ({n_diff} px)'}")
-        if not ok:
-            failures.append(name)
+        maxd = max(
+            (float(np.max(np.abs(a.astype(np.float64) - b.astype(np.float64))))
+             if a.size else 0.0)
+            for a, b in zip(flat_c, flat_i)
+        )
+        if not exact and n_diff == 0:
+            print(f"[tpu-regression] {name}: CLOSE (fma-rounding, max |Δ| {maxd:.2e})")
+            return
+        print(f"[tpu-regression] {name}: DIFFERS ({n_diff} px, max |Δ| {maxd:.2e})")
+        failures.append(name)
 
     cfg = MatchConfig(num_disparities=16, window=9, cost="sad", lr_threshold=1.0,
                       uniqueness=0.05)
@@ -87,6 +102,41 @@ def main() -> int:
             interpret=interp, lr=True,
         ),
     )
+    # multi-window refine path (round 3/4): a step prior forces nw > 1 tiles
+    # (a constant prior plans every tile at nw=1 and never enters the
+    # multi-base unroll)
+    step_prior = jnp.asarray(
+        np.where(np.arange(w)[None, :] < w // 2, 2.0, 12.0)
+        * np.ones((h, 1), np.float32)
+    )
+    check(
+        "refine level (multi-window, step prior, lr)",
+        lambda interp: pallas_refine.refine_level(
+            left, right, step_prior, MatchConfig(window=9), 4, 16,
+            interpret=interp, lr=True, max_windows=4,
+        ),
+    )
+
+    # Pallas bilinear remap (round 3): a mild rotation+shift warp
+    from stepth_tpu.ops import pallas_remap
+
+    yy, xx = np.meshgrid(np.arange(h, dtype=np.float32),
+                         np.arange(w, dtype=np.float32), indexing="ij")
+    ang = 0.03
+    map_xy = np.stack(
+        [np.cos(ang) * xx - np.sin(ang) * yy + 1.7,
+         np.sin(ang) * xx + np.cos(ang) * yy - 0.9],
+        axis=-1,
+    ).astype(np.float32)
+    spec, plan = pallas_remap.plan_remap(map_xy, (h, w))
+    check(
+        "bilinear remap (rotation warp)",
+        lambda interp: pallas_remap.remap_bilinear_pallas(
+            left, spec, plan, interpret=interp
+        ),
+        exact=False,  # bilinear mul-add chains: Mosaic fma vs interpret
+    )
+
     disp = jnp.asarray(rng.uniform(0, 15, (h, w)).astype(np.float32))
     dr = jnp.asarray(rng.uniform(0, 15, (h, w)).astype(np.float32))
     check(
