@@ -44,6 +44,12 @@ class StereoModel:
     pyramid: PyramidConfig = PyramidConfig()
     sgm: SGMConfig = SGMConfig()  # sgm / sgm-pallas / hierarchical-sgm only
     precision: Tuple[int, int, int] = DEFAULT_PRECISION  # parity backend only
+    # hierarchical-pallas / hierarchical-sgm only: run the final refine
+    # level's in-kernel right-view WTA and mark LR-inconsistent pixels
+    # invalid (~1.2× the plain level's cost; occluded pixels get flagged
+    # instead of silently carrying the foreground's disparity). The
+    # non-pyramid backends take their LR switch from match.lr_threshold.
+    lr_check: bool = False
 
     def __call__(self, left, right) -> dense.MatchResult:
         if self.backend == "dense":
@@ -60,7 +66,8 @@ class StereoModel:
             from stepth_tpu.match import pallas_refine
 
             return pallas_refine.match_hierarchical_pallas(
-                left, right, self.match, self.pyramid
+                left, right, self.match, self.pyramid,
+                lr_check=self.lr_check,
             )
         if self.backend == "hierarchical-sgm":
             from stepth_tpu.match import pallas_refine
@@ -68,6 +75,7 @@ class StereoModel:
             return pallas_refine.match_hierarchical_pallas(
                 left, right, self.match, self.pyramid,
                 coarse_backend="sgm", sgm=self.sgm,
+                lr_check=self.lr_check,
             )
         if self.backend == "sgm":
             from stepth_tpu.match import sgm as sgm_mod

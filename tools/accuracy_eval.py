@@ -50,8 +50,14 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--window", type=int, default=9)
     ap.add_argument("--cost", default="sad", choices=("sad", "ssd", "census"))
-    ap.add_argument("--lr", action="store_true", default=True,
-                    help="enable LR consistency on backends that support it")
+    ap.add_argument("--lr", action=argparse.BooleanOptionalAction, default=True,
+                    help="LR consistency: non-pyramid backends switch via "
+                    "MatchConfig.lr_threshold (on by default); --lr also "
+                    "passes lr_check=True to the Pallas hierarchical "
+                    "backends (their in-kernel right-view WTA), which an "
+                    "earlier version of this harness failed to do — the "
+                    "round-4 BASELINE table's occ✓=0.000 flagship rows are "
+                    "that omission, not a backend limit")
     args = ap.parse_args()
 
     import jax  # noqa: E402 (after argparse so --help is fast)
@@ -86,7 +92,9 @@ def main() -> int:
         for backend in backends:
             t0 = time.time()
             try:
-                model = StereoModel(backend=backend, match=match, pyramid=pyr)
+                lr_check = args.lr and backend.startswith("hierarchical")
+                model = StereoModel(backend=backend, match=match, pyramid=pyr,
+                                    lr_check=lr_check)
                 res = model(sc.left, sc.right)
                 disp = np.asarray(res.disparity)
                 valid = np.asarray(res.valid)
