@@ -111,3 +111,22 @@ def test_census_survives_photometric(scene_cache):
     )
     assert cen["bad3"] < 0.05, cen
     assert cen["bad3"] < sad["bad3"], (sad, cen)
+
+
+def test_flagship_lr_check_flags_occlusion(scene_cache):
+    """StereoModel(lr_check=True) turns on the flagship's in-kernel LR check
+    (round-4: the eval harness's --lr used to be parsed but dead, so this
+    surface was untested through the model API). Occluded pixels get flagged
+    instead of silently carrying the foreground disparity, and non-occluded
+    accuracy improves."""
+    sc = scene_cache("box")
+    model = StereoModel(backend="hierarchical-pallas", match=MATCH, pyramid=PYR,
+                        lr_check=True)
+    res = model(sc.left, sc.right)
+    st = scenes.evaluate_disparity(
+        sc, np.asarray(res.disparity), np.asarray(res.valid)
+    )
+    st_off = _run("hierarchical-pallas", sc)
+    assert st["occ_flagged"] > 0.7, st
+    assert st["density"] < 1.0, st
+    assert st["epe"] <= st_off["epe"] + 1e-6, (st, st_off)
