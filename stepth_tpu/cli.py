@@ -50,7 +50,9 @@ def _cmd_stereo(args) -> int:
     right = io.open_rgb(args.right)
     model = StereoModel(
         backend=args.backend,
-        match=MatchConfig(num_disparities=args.disparities, window=args.window),
+        match=MatchConfig(num_disparities=args.disparities, window=args.window,
+                          cost=args.cost),
+        lr_check=args.lr_check,
     )
     res = model(left, right)
     depth = np.asarray(dense.disparity_to_depth_u8(res.disparity, args.disparities))
@@ -107,6 +109,12 @@ def main(argv=None) -> int:
     s.add_argument("out")
     s.add_argument("--disparities", type=int, default=64)
     s.add_argument("--window", type=int, default=9)
+    s.add_argument("--cost", choices=["sad", "ssd", "census"], default="sad",
+                   help="census is the exposure-robust production cost")
+    s.add_argument("--lr-check", action="store_true", dest="lr_check",
+                   help="flag occlusions via the left-right consistency "
+                   "check (hierarchical backends: the in-kernel right-view "
+                   "WTA; others switch via the cost volume)")
     s.add_argument(
         "--backend",
         choices=[
