@@ -40,3 +40,17 @@ moving = temporal.motion_mask(depth.astype(jnp.float32), threshold=8.0)
 
 print("disparity median:", float(jnp.median(disp)))
 print("moving fraction:", float((moving == 255).mean()))
+
+# Sequential-clip fast path: non-keyframe frames skip the coarse pyramid and
+# run only the full-resolution refine seeded by the previous frame's
+# disparity (1.25 vs 1.76 ms/frame at 1080p on the chip — BASELINE.md).
+from stepth_tpu.config import PyramidConfig
+from stepth_tpu.models import StereoModel
+
+model = StereoModel(
+    backend="hierarchical-pallas",
+    match=MatchConfig(num_disparities=16, window=9),
+    pyramid=PyramidConfig(levels=2, refine_radius=4, coarsest_disparities=8),
+)
+res = model.video(keyframe_interval=4)(lefts, rights)
+print("temporal-video disparity median:", float(jnp.median(res.disparity)))

@@ -690,3 +690,90 @@ def match_hierarchical_pallas(
     return dense.MatchResult(
         disparity=disp, valid=disp >= 0, cost=jnp.zeros_like(disp)
     )
+
+
+def match_temporal_pallas(
+    lefts,
+    rights,
+    cfg: MatchConfig = MatchConfig(),
+    pyr: PyramidConfig = PyramidConfig(),
+    keyframe_interval: int = 8,
+    tile_rows: int = 64,
+    interpret: Optional[bool] = None,
+    lr_check: bool = False,
+    coarse_backend: str = "wta",
+    sgm: Optional[SGMConfig] = None,
+) -> dense.MatchResult:
+    """Video stereo with temporal seeding, one jit for the whole clip.
+
+    ``lefts``/``rights``: stacked frames ``[T, H, W]`` (or ``[T, H, W, 3]``).
+    Frame 0 and every ``keyframe_interval``-th frame run the full
+    coarse-to-fine pyramid; every other frame skips the coarse levels and
+    runs ONLY the full-resolution refine kernel seeded by the previous
+    frame's disparity — video disparity rarely moves more than the refine
+    radius (±R px) between frames, and the multi-window plan absorbs larger
+    jumps near object boundaries exactly as it absorbs spatial
+    discontinuities. Measured 1080p (nw=6 default): a seeded step costs
+    ~1.17 ms vs the 1.64 ms full pyramid — see BASELINE.md round 4.
+
+    Disoccluded or fast-moving regions whose true disparity leaves the
+    seeded search window self-correct at the next keyframe;
+    ``keyframe_interval=1`` degenerates to per-frame full pyramids. The
+    whole clip is a ``lax.scan`` carrying (previous disparity, frame index),
+    with ``lax.cond`` selecting keyframe vs seeded step — one dispatch per
+    clip, stacked :class:`MatchResult` out.
+    """
+    from stepth_tpu.match import pallas_post
+
+    if lefts.ndim not in (3, 4):
+        raise ValueError(f"expected [T,H,W] or [T,H,W,C], got {lefts.shape}")
+    if keyframe_interval < 1:
+        raise ValueError(f"keyframe_interval must be >= 1, got {keyframe_interval}")
+    max_base = pyr.coarsest_disparities << (pyr.levels - 1)
+
+    def _post(disp, disp_r):
+        if lr_check:
+            thr = 1.0 if cfg.lr_threshold is None else float(cfg.lr_threshold)
+            valid = pallas_post.lr_consistency_pallas(
+                disp, disp_r, thr, max_base, interpret=interpret
+            )
+            disp = pallas_post.fill_invalid_pallas(disp, valid, interpret=interpret)
+            disp = pallas_post.median3_pallas(disp, interpret=interpret)
+            return dense.MatchResult(
+                disparity=disp, valid=valid, cost=jnp.zeros_like(disp)
+            )
+        disp = pallas_post.median3_pallas(disp, interpret=interpret)
+        return dense.MatchResult(
+            disparity=disp, valid=disp >= 0, cost=jnp.zeros_like(disp)
+        )
+
+    def full(l, r, _prior):
+        return match_hierarchical_pallas(
+            l, r, cfg, pyr, tile_rows, interpret, lr_check,
+            coarse_backend, sgm,
+        )
+
+    def seeded(l, r, prior):
+        lg = dense.grayscale(l)
+        rg = dense.grayscale(r)
+        out = refine_level(
+            lg, rg, prior, cfg, pyr.refine_radius, max_base,
+            tile_rows, interpret, lr=lr_check, max_windows=pyr.refine_windows,
+        )
+        if lr_check:
+            return _post(out[0], out[1])
+        return _post(out, None)
+
+    def step(carry, lr_pair):
+        prev, i = carry
+        res = jax.lax.cond(
+            i % keyframe_interval == 0,
+            lambda: full(*lr_pair, prev),
+            lambda: seeded(*lr_pair, prev),
+        )
+        return (res.disparity, i + 1), res
+
+    h, w = lefts.shape[1:3]
+    init = (jnp.zeros((h, w), jnp.float32), jnp.int32(0))
+    _, out = jax.lax.scan(step, init, (lefts, rights))
+    return out

@@ -132,6 +132,28 @@ class StereoModel:
 
         return run
 
+    def video(self, keyframe_interval: int = 8):
+        """Temporally-seeded video path (hierarchical Pallas backends only):
+        a callable mapping stacked clips ``[T,H,W]`` to a stacked
+        :class:`MatchResult`. Non-keyframe frames skip the coarse pyramid and
+        run only the full-resolution refine seeded by the previous frame's
+        disparity (~1.17 vs 1.64 ms per 1080p frame — BASELINE.md round 4);
+        every ``keyframe_interval``-th frame re-runs the full pyramid so
+        fast motion and disocclusions self-correct. Use :meth:`batched` for
+        independent (non-sequential) frames."""
+        from stepth_tpu.match import pallas_refine
+
+        if self.backend not in ("hierarchical-pallas", "hierarchical-sgm"):
+            raise NotImplementedError(
+                f"video() needs a hierarchical Pallas backend, got {self.backend!r}"
+            )
+        coarse = "sgm" if self.backend == "hierarchical-sgm" else "wta"
+        return lambda lefts, rights: pallas_refine.match_temporal_pallas(
+            lefts, rights, self.match, self.pyramid,
+            keyframe_interval=keyframe_interval, lr_check=self.lr_check,
+            coarse_backend=coarse, sgm=self.sgm,
+        )
+
     def sharded(self, mesh):
         """Return a callable running this model row-tile-sharded over ``mesh``."""
         from stepth_tpu.parallel import sharded
