@@ -443,6 +443,115 @@ def match_hierarchical_sharded(
     )
 
 
+def match_temporal_sharded(
+    lefts,
+    rights,
+    cfg: MatchConfig = MatchConfig(),
+    pyr=None,
+    mesh: Optional[Mesh] = None,
+    keyframe_interval: int = 8,
+    tile_rows: int = 32,
+    interpret: Optional[bool] = None,
+    lr_check: bool = False,
+) -> dense.MatchResult:
+    """Temporally-seeded video matching over the mesh ``tile`` axis — the
+    sharded twin of :func:`stepth_tpu.match.pallas_refine.
+    match_temporal_pallas`. Keyframes run the full sharded pyramid
+    (:func:`match_hierarchical_sharded`); every other frame runs ONLY the
+    full-resolution refine on the local row shard, seeded by the previous
+    frame's (sharded) disparity, with the same l/r/prior halo exchange as
+    the flagship's level-0. The whole clip is one ``lax.scan``.
+
+    Seam-exact with the single-device temporal path at the same effective
+    ``tile_rows`` (tests/test_temporal_video.py)."""
+    from stepth_tpu.config import PyramidConfig
+    from stepth_tpu.match import pallas_refine, pallas_post
+
+    if pyr is None:
+        pyr = PyramidConfig()
+    if mesh is None:
+        from stepth_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if keyframe_interval < 1:
+        raise ValueError(f"keyframe_interval must be >= 1, got {keyframe_interval}")
+    lefts = jnp.asarray(lefts, jnp.float32)
+    rights = jnp.asarray(rights, jnp.float32)
+    h, w = lefts.shape[1:3]
+    ntile = mesh.shape["tile"]
+    th = h // ntile
+    # same tile_rows shrink + halo sizing as match_hierarchical_sharded, so
+    # the seeded step's refine tiles align with the keyframe pyramid's
+    tr = (tile_rows + 7) // 8 * 8
+    th_coarse = th >> (pyr.levels - 1)
+    while tr > 8 and th_coarse % tr != 0:
+        tr -= 8
+    need = cfg.window // 2 + 1
+    halo = -(-need // tr) * tr
+    max_base = pyr.coarsest_disparities << (pyr.levels - 1)
+
+    def seeded_shard(l_blk, r_blk, p_blk):
+        idx = lax.axis_index("tile")
+        lg = dense.grayscale(l_blk)
+        rg = dense.grayscale(r_blk)
+        l_ext = _with_halo(lg, halo, "tile", edge="replicate")
+        r_ext = _with_halo(rg, halo, "tile", edge="replicate")
+        p_ext = _with_halo(p_blk, halo, "tile", edge="replicate")
+        out = pallas_refine.refine_level(
+            l_ext, r_ext, p_ext, cfg, pyr.refine_radius, max_base,
+            tr, interpret, g_row0=idx * th - halo, g_h=h,
+            lr=lr_check, max_windows=pyr.refine_windows,
+        )
+        d_full = out[0] if lr_check else out
+        disp = d_full[halo : halo + th]
+        if lr_check:
+            thr = 1.0 if cfg.lr_threshold is None else float(cfg.lr_threshold)
+            valid = pallas_post.lr_consistency_pallas(
+                disp, out[1][halo : halo + th], thr, max_base,
+                interpret=interpret,
+            )
+            disp = pallas_post.fill_invalid_pallas(
+                disp, valid, interpret=interpret
+            )
+        else:
+            valid = disp >= 0
+        d_ext = _with_halo(disp, halo, "tile", edge="replicate")
+        med = pallas_post.median3_pallas(d_ext, interpret=interpret)
+        return med[halo : halo + th], valid.astype(jnp.float32)
+
+    spec = P("tile", None) if lefts.ndim == 3 else P("tile", None, None)
+    seeded_fn = shard_map(
+        seeded_shard,
+        mesh=mesh,
+        in_specs=(spec, spec, P("tile", None)),
+        out_specs=(P("tile", None), P("tile", None)),
+        check_vma=False,
+    )
+
+    def full_fn(l, r):
+        res = match_hierarchical_sharded(
+            l, r, cfg, pyr, mesh, tile_rows, interpret, lr_check=lr_check,
+        )
+        return res.disparity, res.valid.astype(jnp.float32)
+
+    def step(carry, lr_pair):
+        prev, i = carry
+        disp, valid_f = lax.cond(
+            i % keyframe_interval == 0,
+            lambda: full_fn(*lr_pair),
+            lambda: seeded_fn(*lr_pair, prev),
+        )
+        return (disp, i + 1), (disp, valid_f)
+
+    init = (jnp.zeros((h, w), jnp.float32), jnp.int32(0))
+    _, (disp, valid_f) = lax.scan(step, init, (lefts, rights))
+    return dense.MatchResult(
+        disparity=disp, valid=valid_f > 0.5, cost=jnp.zeros_like(disp)
+    )
+
+
 @partial(jax.jit, static_argnames=("mesh",))
 def normalize_depth_sharded(raw_depth, mesh: Optional[Mesh] = None):
     """Global max-normalization of a sharded raw depth map — the reference's

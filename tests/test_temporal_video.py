@@ -81,3 +81,40 @@ def test_video_lr_check_flags_and_rejects_unsupported_backend():
     assert v.shape == (2, H, W) and v.mean() > 0.5
     with pytest.raises(NotImplementedError):
         StereoModel(backend="dense").video()
+
+
+def test_sharded_temporal_equals_single():
+    """Sharded temporal video == single-device temporal bit-for-bit on the
+    fake mesh (same effective tile_rows — the flagship seam-exactness
+    standard, applied to the seeded steps and the keyframe pyramid alike)."""
+    import jax.numpy as jnp
+
+    from stepth_tpu.match import pallas_refine
+    from stepth_tpu.parallel import mesh as mesh_mod
+    from stepth_tpu.parallel.sharded import match_temporal_sharded
+
+    h, w = 128, 256
+    shifts = [5, 6, 7, 8]
+    rng = np.random.default_rng(11)
+    pad = max(shifts) + 2
+    tex = rng.uniform(0, 255, (h, w + pad)).astype(np.float32)
+    lefts = jnp.asarray(np.stack([tex[:, :w]] * len(shifts)))
+    rights = jnp.asarray(np.stack([tex[:, s : s + w] for s in shifts]))
+    cfg = MatchConfig(num_disparities=32, window=9)
+    pyr = PyramidConfig(levels=3, refine_radius=4, coarsest_disparities=8)
+    ref = pallas_refine.match_temporal_pallas(
+        lefts, rights, cfg, pyr, keyframe_interval=2, tile_rows=8,
+        interpret=True,
+    )
+    for ntile in (2, 4):
+        m = mesh_mod.make_mesh(data=1, tile=ntile)
+        got = match_temporal_sharded(
+            lefts, rights, cfg, pyr, m, keyframe_interval=2, tile_rows=8,
+            interpret=True,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref.disparity), np.asarray(got.disparity)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref.valid), np.asarray(got.valid)
+        )
