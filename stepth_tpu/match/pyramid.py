@@ -129,5 +129,20 @@ def match_hierarchical(
         disp = _refine_level(lefts[lvl], rights[lvl], prior, cfg, pyr.refine_radius)
 
     disp = dense.median3(disp)
-    valid = disp >= 0
+    # Propagate the coarse level's LR/uniqueness validity to full resolution
+    # (nearest-neighbor ×2 per level). The refine levels have no right-view
+    # pass of their own, so this is coarse-granularity occlusion flagging —
+    # the Pallas flagship's in-kernel right-view WTA (`lr_check=True`) is the
+    # full-resolution version. Previously this mask was computed at the
+    # coarsest level and then discarded (`valid = disp >= 0`, identically
+    # true), so the backend reported every occluded pixel as valid.
+    v = res.valid
+    for lvl in range(pyr.levels - 2, -1, -1):
+        h, w = lefts[lvl].shape
+        v = jnp.repeat(jnp.repeat(v, 2, axis=0), 2, axis=1)
+        v = jnp.pad(
+            v, ((0, max(0, h - v.shape[0])), (0, max(0, w - v.shape[1]))),
+            mode="edge",
+        )[:h, :w]
+    valid = v & (disp >= 0)
     return dense.MatchResult(disparity=disp, valid=valid, cost=jnp.zeros_like(disp))

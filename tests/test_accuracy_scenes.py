@@ -130,3 +130,13 @@ def test_flagship_lr_check_flags_occlusion(scene_cache):
     assert st["occ_flagged"] > 0.7, st
     assert st["density"] < 1.0, st
     assert st["epe"] <= st_off["epe"] + 1e-6, (st, st_off)
+
+
+def test_xla_hierarchical_propagates_coarse_validity(scene_cache):
+    """The XLA pyramid backend computes LR/uniqueness validity at the coarse
+    level; it must reach the output (round 4: it used to be discarded —
+    `valid = disp >= 0`, identically true). Flagging is coarse-granularity,
+    so the bar is lower than the Pallas flagship's in-kernel LR."""
+    st = _run("hierarchical", scene_cache("box"))
+    assert st["density"] < 1.0, st
+    assert st["occ_flagged"] > 0.3, st
