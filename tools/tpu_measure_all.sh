@@ -15,5 +15,14 @@ cd /root/repo || exit 1
   timeout 2400 python bench.py --profile
   echo "--- on-TPU kernel regression (compiled == interpret) ---"
   STEPTH_TPU_TESTS=1 timeout 2400 python -m pytest tests/test_tpu_kernels.py -q
+  echo "--- refine-windows frontier (round 4) ---"
+  timeout 3000 python tools/refine_frontier.py
+  echo "--- per-backend accuracy, vga + 1080p (round 4) ---"
+  timeout 3000 python tools/accuracy_eval.py --size vga
+  timeout 3600 python tools/accuracy_eval.py --size 1080p --backends pallas,hierarchical-pallas,hierarchical-sgm,sgm
+  echo "--- BA convergence + production timing (round 4) ---"
+  timeout 2400 python tools/ba_convergence.py
+  echo "--- H2D transport floor (round 4) ---"
+  timeout 600 python tools/transport_bench.py
   echo "=== done $(date -u +%FT%TZ) ==="
 } >> /root/repo/tpu_measure.log 2>&1
