@@ -118,3 +118,15 @@ def test_sharded_temporal_equals_single():
         np.testing.assert_array_equal(
             np.asarray(ref.valid), np.asarray(got.valid)
         )
+
+
+def test_video_sgm_coarse_backend():
+    """`StereoModel.video` with the SGM-coarse hybrid: keyframes run the SGM
+    coarse stage, seeded frames the same refine as the flagship."""
+    shifts = [5, 6, 7]
+    lefts, rights = _clip(shifts)
+    run = StereoModel(backend="hierarchical-sgm", match=MATCH,
+                      pyramid=PYR).video(keyframe_interval=2)
+    meds = _medians(run(lefts, rights))
+    for t, (m, s) in enumerate(zip(meds, shifts)):
+        assert abs(m - s) <= 0.75, (t, m, s)
