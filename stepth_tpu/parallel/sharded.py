@@ -443,6 +443,70 @@ def match_hierarchical_sharded(
     )
 
 
+def match_batch_hierarchical_sharded(
+    lefts,
+    rights,
+    cfg: MatchConfig = MatchConfig(),
+    pyr=None,
+    mesh: Optional[Mesh] = None,
+    tile_rows: int = 64,
+    interpret: Optional[bool] = None,
+    lr_check: bool = False,
+    coarse_backend: str = "wta",
+    sgm=None,
+) -> dense.MatchResult:
+    """Pure data-parallel flagship for batched THROUGHPUT: the batch shards
+    over the ``data`` axis and each device runs the unmodified single-device
+    all-Pallas pyramid on its local frames via ``lax.scan`` (the fused
+    kernels use manual-DMA operands that ``vmap`` cannot batch). Zero
+    collectives — linear multi-chip scaling by construction, which is the
+    scaling-table answer for flagship throughput (comm_model's 85%/76%
+    tile-axis rows are the single-frame LATENCY story; a saturated chip
+    leaves nothing for halos to amortize). Bit-equal per frame to
+    :func:`stepth_tpu.match.pallas_refine.match_hierarchical_pallas`."""
+    from stepth_tpu.config import PyramidConfig
+    from stepth_tpu.match import pallas_refine
+
+    if pyr is None:
+        pyr = PyramidConfig()
+    if mesh is None:
+        from stepth_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    lefts = jnp.asarray(lefts, jnp.float32)
+    rights = jnp.asarray(rights, jnp.float32)
+    b = lefts.shape[0]
+    nd = mesh.shape["data"]
+    if b % nd != 0:
+        raise ValueError(f"B={b} not divisible by data axis {nd}")
+
+    def local(ls, rs):
+        def step(_, lr_pair):
+            res = pallas_refine.match_hierarchical_pallas(
+                lr_pair[0], lr_pair[1], cfg, pyr, tile_rows, interpret,
+                lr_check, coarse_backend, sgm,
+            )
+            return None, (res.disparity, res.valid.astype(jnp.float32))
+
+        _, (d, v) = lax.scan(step, None, (ls, rs))
+        return d, v
+
+    spec = P("data", None, None) if lefts.ndim == 3 else P("data", None, None, None)
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spec, spec),
+        out_specs=(P("data", None, None), P("data", None, None)),
+        check_vma=False,
+    )
+    disp, valid_f = fn(lefts, rights)
+    return dense.MatchResult(
+        disparity=disp, valid=valid_f > 0.5, cost=jnp.zeros_like(disp)
+    )
+
+
 def match_temporal_sharded(
     lefts,
     rights,

@@ -184,3 +184,29 @@ def test_sharded_lr_check_single_level_raises(rng):
             left, right, cfg, pyr, m, tile_rows=8, interpret=True,
             lr_check=True,
         )
+
+
+def test_batched_hierarchical_dp_equals_single(rng):
+    """Pure-DP batched flagship: each frame of the data-sharded batch equals
+    the single-device flagship bit-for-bit (zero collectives — the
+    throughput-scaling counterpart of the seam-exact tile axis)."""
+    from stepth_tpu.config import PyramidConfig
+    from stepth_tpu.match import pallas_refine
+    from stepth_tpu.parallel.sharded import match_batch_hierarchical_sharded
+
+    cfg = MatchConfig(num_disparities=32, window=9)
+    pyr = PyramidConfig(levels=3, refine_radius=4, coarsest_disparities=8)
+    pairs = [make_pair(rng, h=64, w=128, shift=s) for s in (4, 6, 8, 10)]
+    lefts = np.stack([p[0] for p in pairs])
+    rights = np.stack([p[1] for p in pairs])
+    m = mesh_mod.make_mesh(data=4, tile=1)
+    got = match_batch_hierarchical_sharded(
+        lefts, rights, cfg, pyr, m, tile_rows=8, interpret=True
+    )
+    for i, (l, r) in enumerate(pairs):
+        ref = pallas_refine.match_hierarchical_pallas(
+            l, r, cfg, pyr, tile_rows=8, interpret=True
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref.disparity), np.asarray(got.disparity[i])
+        )
