@@ -634,6 +634,42 @@ def bench_extra():
         file=sys.stderr,
     )
 
+    # temporally-seeded video (round 4): non-keyframe frames run only the
+    # full-res refine seeded by the previous frame's disparity. Two-point
+    # over clip lengths so the per-clip dispatch round-trip cancels.
+    from stepth_tpu.config import PyramidConfig
+    from stepth_tpu.models import StereoModel
+
+    vm = StereoModel(
+        backend="hierarchical-pallas",
+        match=MatchConfig(num_disparities=128, window=9, cost="sad"),
+        pyramid=PyramidConfig(levels=4, refine_radius=4,
+                              coarsest_disparities=16),
+    )
+    run_vid = jax.jit(vm.video(keyframe_interval=8))
+    t1n, t2n = 8, 32
+    clips = {
+        n: (jnp.asarray(np.stack([np.asarray(lj)] * n).astype(np.float32)),
+            jnp.asarray(np.stack([np.asarray(rj)] * n).astype(np.float32)))
+        for n in (t1n, t2n)
+    }
+    for n in (t1n, t2n):
+        _ = float(jnp.sum(run_vid(*clips[n]).disparity[-1, :1, :8]))
+    est = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = float(jnp.sum(run_vid(*clips[t1n]).disparity[-1, :1, :8]))
+        t1 = time.perf_counter()
+        _ = float(jnp.sum(run_vid(*clips[t2n]).disparity[-1, :1, :8]))
+        t2 = time.perf_counter()
+        est.append(((t2 - t1) - (t1 - t0)) / (t2n - t1n))
+    per = sorted(est)[1]
+    print(
+        f"[bench-extra] temporal-video 1080p (keyframe-8, StereoModel.video):"
+        f" {1/per:.1f} frames/s ({per*1e3:.2f} ms/frame device throughput)",
+        file=sys.stderr,
+    )
+
     # --- config 5: BA iters/s ------------------------------------------------
     from stepth_tpu.fusion import ba, geometry as geo
 
