@@ -57,6 +57,28 @@ def auto_mesh(n_obs: int, devices=None) -> Optional[Mesh]:
     return Mesh(np.array(devs[:n]).reshape(1, n), ("_r", "data"))
 
 
+def _problem_fingerprint(problem: ba.BAProblem) -> str:
+    """Stable identity of the observation set: shapes plus a content hash of
+    the (cam_idx, pt_idx, uv, weight, intrinsics) arrays. Poses/points are the
+    *state* being optimized so they are excluded — the fingerprint must stay
+    fixed across segments of one solve."""
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(
+        f"{problem.poses.shape}|{problem.points.shape}|{problem.uv.shape}".encode()
+    )
+    for arr in (
+        problem.cam_idx,
+        problem.pt_idx,
+        problem.uv,
+        problem.weight,
+        problem.intrinsics,
+    ):
+        h.update(np.ascontiguousarray(np.asarray(arr)).tobytes())
+    return h.hexdigest()[:16]
+
+
 def solve_resumable(
     problem: ba.BAProblem,
     ckpt_path: str,
@@ -94,22 +116,35 @@ def solve_resumable(
         "lm": jnp.float32(0),
         "cost": jnp.float32(0),
     }
+    fingerprint = _problem_fingerprint(problem)
     start, lm = 0, lm_lambda0
     state: Optional[ba.BAState] = None
     meta = checkpoint.metadata(ckpt_path)
-    if meta is not None and meta.get("total_iters") == iters:
-        saved = checkpoint.restore(ckpt_path, like=like)
-        start = int(meta["iter"])
-        lm = float(np.asarray(saved["lm"]))
-        problem = problem._replace(
-            poses=jnp.asarray(saved["poses"]), points=jnp.asarray(saved["points"])
-        )
-        state = ba.BAState(
-            poses=problem.poses,
-            points=problem.points,
-            cost=jnp.asarray(saved["cost"]),
-            lm_lambda=jnp.float32(lm),
-        )
+    # Resume only a checkpoint written for THIS problem: a stale file from a
+    # different problem at the same path (matching iter counts) must not be
+    # silently restored. Old checkpoints without a fingerprint are rejected
+    # the same way (restart is always correct; wrong-state resume never is).
+    if (
+        meta is not None
+        and meta.get("total_iters") == iters
+        and meta.get("fingerprint") == fingerprint
+    ):
+        try:
+            saved = checkpoint.restore(ckpt_path, like=like)
+        except Exception:
+            saved = None  # truncated/corrupt checkpoint → restart from scratch
+        if saved is not None:
+            start = int(meta["iter"])
+            lm = float(np.asarray(saved["lm"]))
+            problem = problem._replace(
+                poses=jnp.asarray(saved["poses"]), points=jnp.asarray(saved["points"])
+            )
+            state = ba.BAState(
+                poses=problem.poses,
+                points=problem.points,
+                cost=jnp.asarray(saved["cost"]),
+                lm_lambda=jnp.float32(lm),
+            )
 
     kw = dict(
         cg_iters=cg_iters,
@@ -138,6 +173,7 @@ def solve_resumable(
                 "iter": done,
                 "total_iters": iters,
                 "n_devices": 1 if mesh is None else int(mesh.devices.size),
+                "fingerprint": fingerprint,
             },
         )
         if on_segment is not None:

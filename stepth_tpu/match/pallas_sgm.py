@@ -898,11 +898,18 @@ def match_pair_sgm_pallas(
     )
     scale = float(cfg.window * cfg.window) if cfg.window > 1 else 1.0
     p1s, p2s = sgm.p1 * scale, sgm.p2 * scale
-    if sgm.directions in (4, 8):
+    # The fused-WTA final scan relays right-view candidates through a
+    # 128-lane boundary band, so it requires D <= 128; larger disparity
+    # ranges take the unfused aggregate + standalone-WTA path below.
+    if sgm.directions in (4, 8) and vol.shape[0] <= 128:
         # fast path: the final (↑y) direction runs with WTA fused in — the
         # last full-volume write and the WTA kernel's full-volume read both
         # vanish (measured ~2.5 ms of the 18 ms round-3 pipeline), with
-        # bit-identical arithmetic to the unfused path. LR validity runs on
+        # bit-identical arithmetic to the unfused path for f32 volumes
+        # (with volume_dtype="bf16" the unfused path rounds the final
+        # direction's accumulation to bf16 before WTA while the fused kernel
+        # keeps it in f32 — equal within the bf16-close contract, not
+        # bit-equal). LR validity runs on
         # the two 2-D disparity maps afterwards (pallas_post twin of
         # dense.lr_consistency — the same predicate the fused-out WTA kernel
         # evaluated inline). For 8 directions the diagonals accumulate

@@ -41,7 +41,21 @@ def save(path: str, state: Any, metadata: Optional[Dict] = None) -> None:
     )
     if metadata:
         arrays["__meta__"] = np.frombuffer(json.dumps(metadata).encode(), np.uint8)
-    np.savez(path if path.endswith(".npz") else path + ".npz", **arrays)
+    # Atomic publish: a process killed mid-save (the failure mode
+    # solve_resumable/supervise defend against) must never leave a truncated
+    # npz at the final path — write to a temp file in the same directory and
+    # os.replace() onto the target (atomic on POSIX).
+    npz_path = path if path.endswith(".npz") else path + ".npz"
+    tmp_path = npz_path + f".tmp.{os.getpid()}"
+    try:
+        np.savez(tmp_path, **arrays)
+        # np.savez appends .npz when missing; our tmp name doesn't end in it.
+        written = tmp_path if os.path.exists(tmp_path) else tmp_path + ".npz"
+        os.replace(written, npz_path)
+    finally:
+        for stale in (tmp_path, tmp_path + ".npz"):
+            if os.path.exists(stale):
+                os.remove(stale)
 
 
 def restore(path: str, like: Any = None) -> Any:
@@ -64,13 +78,22 @@ def restore(path: str, like: Any = None) -> Any:
 
 
 def metadata(path: str) -> Optional[Dict]:
-    meta_file = os.path.join(path, "stepth_meta.json")
-    if os.path.isdir(path) and os.path.exists(meta_file):
-        with open(meta_file) as f:
-            return json.load(f)
-    npz_path = path if path.endswith(".npz") else path + ".npz"
-    if os.path.exists(npz_path):
-        data = np.load(npz_path)
-        if "__meta__" in data:
-            return json.loads(bytes(data["__meta__"]).decode())
+    """Read checkpoint metadata, or None if absent.
+
+    An unreadable/corrupt checkpoint (e.g. truncated by a crash predating the
+    atomic-save path) is treated as absent rather than raising — the resume
+    loop must restart from scratch, not brick on every relaunch.
+    """
+    try:
+        meta_file = os.path.join(path, "stepth_meta.json")
+        if os.path.isdir(path) and os.path.exists(meta_file):
+            with open(meta_file) as f:
+                return json.load(f)
+        npz_path = path if path.endswith(".npz") else path + ".npz"
+        if os.path.exists(npz_path):
+            data = np.load(npz_path)
+            if "__meta__" in data:
+                return json.loads(bytes(data["__meta__"]).decode())
+    except Exception:
+        return None
     return None

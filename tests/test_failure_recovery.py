@@ -123,6 +123,66 @@ def test_solve_resumable_interrupt_resume(tmp_path, rng):
     np.testing.assert_array_equal(np.asarray(again.poses), np.asarray(st.poses))
 
 
+def test_checkpoint_save_is_atomic_and_tolerant(tmp_path, rng):
+    """ADVICE r4 (medium): a kill mid-save must never brick the resume loop.
+
+    save() publishes via temp-file + os.replace, so the final path only ever
+    holds a complete npz; and even a corrupt file (simulating a crash that
+    predates the atomic path, or disk truncation) reads as "no checkpoint"
+    from metadata() and restarts solve_resumable from scratch instead of
+    raising BadZipFile forever."""
+    import jax.numpy as jnp
+
+    from tests.test_fusion_ba import make_problem
+    from stepth_tpu.fusion import ba, resumable
+    from stepth_tpu.utils import checkpoint
+
+    ckpt = str(tmp_path / "atomic.npz")
+    state = {"poses": jnp.ones((4, 6)), "lm": jnp.float32(2.0)}
+    checkpoint.save(ckpt, state, metadata={"iter": 3})
+    assert checkpoint.metadata(ckpt) == {"iter": 3}
+    # no temp residue next to the published file
+    assert sorted(os.listdir(tmp_path)) == ["atomic.npz"]
+
+    # truncate the file mid-way: metadata() must treat it as absent
+    with open(ckpt, "r+b") as f:
+        f.truncate(40)
+    assert checkpoint.metadata(ckpt) is None
+
+    # and solve_resumable over a truncated checkpoint restarts cleanly
+    problem, _, _ = make_problem(rng, n_cams=4, n_pts=40, perturb=0.05)
+    ckpt2 = str(tmp_path / "solve.npz")
+    resumable.solve_resumable(problem, ckpt2, iters=4, cg_iters=8, every=2)
+    with open(ckpt2, "r+b") as f:
+        f.truncate(40)
+    st = resumable.solve_resumable(problem, ckpt2, iters=4, cg_iters=8, every=2)
+    straight = ba.solve(problem, iters=4, cg_iters=8)
+    np.testing.assert_array_equal(np.asarray(st.poses), np.asarray(straight.poses))
+
+
+def test_resumable_rejects_stale_checkpoint_from_other_problem(tmp_path, rng):
+    """ADVICE r4: a checkpoint from a DIFFERENT problem at the same path (with
+    a matching total_iters) must be ignored, not silently restored."""
+    from tests.test_fusion_ba import make_problem
+    from stepth_tpu.fusion import ba, resumable
+
+    prob_a, _, _ = make_problem(rng, n_cams=4, n_pts=40, perturb=0.05)
+    prob_b, _, _ = make_problem(rng, n_cams=4, n_pts=40, perturb=0.05)
+    assert not np.array_equal(np.asarray(prob_a.uv), np.asarray(prob_b.uv))
+    ckpt = str(tmp_path / "stale.npz")
+
+    resumable.solve_resumable(prob_a, ckpt, iters=6, cg_iters=8, every=2)
+    # same path, same iters, different problem: must solve B from scratch
+    st_b = resumable.solve_resumable(prob_b, ckpt, iters=6, cg_iters=8, every=2)
+    straight_b = ba.solve(prob_b, iters=6, cg_iters=8)
+    np.testing.assert_array_equal(
+        np.asarray(st_b.poses), np.asarray(straight_b.poses)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(st_b.points), np.asarray(straight_b.points)
+    )
+
+
 _RESUMABLE_WORKER = r"""
 import os, sys
 os.environ["JAX_PLATFORMS"] = "cpu"

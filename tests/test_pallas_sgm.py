@@ -169,3 +169,25 @@ def test_scan_lane_tile_below_128_rejected():
             vol, None, S_real=16, T_real=256, p1=4.0, p2=16.0,
             reverse=False, lane_tile=64, interpret=True,
         )
+
+
+def test_large_disparity_falls_back_to_unfused(monkeypatch):
+    """ADVICE r4 (low): D > 128 exceeds the fused-WTA scan's boundary band;
+    4/8-direction configs must fall back to the unfused aggregate + WTA path
+    (which has no such limit) instead of raising."""
+    calls = {"fused": 0}
+    orig = pallas_sgm._scan_wta_direction
+
+    def spy(*a, **k):
+        calls["fused"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pallas_sgm, "_scan_wta_direction", spy)
+    rng = np.random.default_rng(21)
+    left, right = _pair(rng, h=24, w=176, shift=3)
+    cfg = MatchConfig(num_disparities=144, window=3, lr_threshold=1.0)
+    sc = sgm.SGMConfig(directions=4)
+    got = pallas_sgm.match_pair_sgm_pallas(left, right, cfg, sc, interpret=True)
+    assert calls["fused"] == 0, "D=144 must not take the fused-WTA path"
+    ref = sgm.match_pair_sgm(left, right, cfg, sc)
+    _assert_equal(ref, got)
