@@ -12,7 +12,10 @@ toolchain in this environment). The single-threaded NumPy twin is also
 measured and reported on stderr for continuity with round 1.
 
 Extra configs (VGA dense, bundled-asset parity path) are reported on stderr so
-stdout stays a single JSON line for the driver.
+stdout stays a single JSON line for the driver. The one JSON line also carries
+two secondary fields measured every round: ``edge_fps`` (the same flagship on
+the edge-heavy box scene) and ``production`` (the documented deployment
+configuration, census cost + LR occlusion check, on both content classes).
 """
 
 from __future__ import annotations
@@ -215,6 +218,13 @@ def main():
             "unit": "frames/s",
             "vs_baseline": round(float(vs_baseline), 1),
         }
+        # secondary rows measured before the emit land as extra fields (the
+        # driver parses metric/value/unit/vs_baseline; these regression-track
+        # the other content class and the documented production deployment
+        # configuration census + lr_check — VERDICT r4 #2)
+        for key in ("edge_fps", "production"):
+            if key in partial:
+                obj[key] = partial[key]
         if degraded:
             obj["degraded"] = True
             obj["degraded_reason"] = reason
@@ -227,6 +237,13 @@ def main():
         if emitted.is_set():
             return
         base = partial.get("baseline_fps") or 1e-9
+        if "headline_fps" in partial:
+            # the headline finished; only secondary rows were still running —
+            # emit the real number, not a degraded one
+            print("[bench] WATCHDOG: budget exhausted during secondary rows; "
+                  "emitting the completed headline", file=sys.stderr, flush=True)
+            emit(partial["headline_fps"], partial["headline_fps"] / base)
+            os._exit(0)
         if "latency_fps" in partial:
             val, why = partial["latency_fps"], (
                 "budget hit before device-throughput loop; value is the "
@@ -364,15 +381,13 @@ def main():
 
     tpu_med = float(np.median(np.asarray(out)[50:-50, 100:-100]))
     print(f"[bench] median disparity tpu={tpu_med:.2f} want=24", file=sys.stderr)
-
-    # the driver's line — printed the moment the headline exists; everything
-    # after this is stderr-only extra credit
-    emit(fps, fps / baseline_fps)
+    partial["headline_fps"] = fps  # watchdog emits this if secondary rows stall
 
     # Edge-bearing scene (VERDICT r3 #3): the smooth headline texture lets
     # every tile take the single-window fast path; the box scene (layered
     # occlusion, disparity steps ≈ 0.3·dmax) exercises the multi-window
     # machinery. Same shapes ⇒ same executable, no extra compile.
+    le = re_ = None
     try:
         from stepth_tpu.utils import scenes
 
@@ -380,6 +395,7 @@ def main():
         le, re_ = jnp.asarray(sc.left), jnp.asarray(sc.right)
         throughput(le, re_, reps=1)
         per_edge = throughput(le, re_)
+        partial["edge_fps"] = round(1.0 / per_edge, 2)
         print(
             f"[bench] edge-scene (box) 1080p: {1.0/per_edge:.2f} frames/s"
             f" ({per_edge*1e3:.3f} ms/frame device throughput)",
@@ -387,6 +403,66 @@ def main():
         )
     except Exception as e:  # noqa: BLE001 — extra credit only
         print(f"[bench] edge-scene extra skipped: {e}", file=sys.stderr)
+
+    # PRODUCTION configuration (VERDICT r4 #2): census + lr_check=True is what
+    # README tells real rigs to deploy (README.md quickstart) — measure it
+    # every round on both content classes so a regression in the census
+    # bit-planes or the LR epilogue shows up in the driver artifact, not just
+    # in one-off tool runs. Separate executable (census cost + LR epilogue);
+    # the persistent compile cache makes reruns cheap.
+    try:
+        prod_cfg = MatchConfig(num_disparities=128, window=9, cost="census")
+
+        @jax.jit
+        def run_prod(l0, r, n):
+            def body(_, carry):
+                l, _d = carry
+                d = pallas_refine.match_hierarchical_pallas(
+                    l, r, prod_cfg, pyr, lr_check=True
+                ).disparity
+                return (l0 + d[:1, :1] * 1e-6, d)
+
+            return jax.lax.fori_loop(
+                0, n, body, (l0, jnp.zeros(l0.shape, jnp.float32))
+            )[1]
+
+        def prod_throughput(l, r, reps=3):
+            est = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                _ = float(jnp.sum(run_prod(l, r, 5)[:1, :8]))
+                t1 = time.perf_counter()
+                _ = float(jnp.sum(run_prod(l, r, 55)[:1, :8]))
+                t2 = time.perf_counter()
+                est.append(((t2 - t1) - (t1 - t0)) / 50)
+            return sorted(est)[len(est) // 2]
+
+        t0 = time.perf_counter()
+        prod_throughput(left, right, reps=1)  # compile + warm
+        print(f"[bench] production compile+first: {time.perf_counter()-t0:.1f}s",
+              file=sys.stderr)
+        per_prod = prod_throughput(left, right)
+        prod = {"config": "census+lr", "smooth_fps": round(1.0 / per_prod, 2)}
+        print(
+            f"[bench] PRODUCTION census+LR smooth 1080p: {1.0/per_prod:.2f}"
+            f" frames/s ({per_prod*1e3:.3f} ms/frame device throughput)",
+            file=sys.stderr,
+        )
+        if le is not None:
+            prod_throughput(le, re_, reps=1)
+            per_pe = prod_throughput(le, re_)
+            prod["edge_fps"] = round(1.0 / per_pe, 2)
+            print(
+                f"[bench] PRODUCTION census+LR edge-scene (box) 1080p:"
+                f" {1.0/per_pe:.2f} frames/s ({per_pe*1e3:.3f} ms/frame)",
+                file=sys.stderr,
+            )
+        partial["production"] = prod
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] production row skipped: {e}", file=sys.stderr)
+
+    # the driver's line: headline + the secondary rows measured above
+    emit(fps, fps / baseline_fps)
 
 
 def bench_extra():
