@@ -894,15 +894,25 @@ def bench_profile():
         imgs[3][1],
     )
 
+    # per-level refine at the shipping defaults (round 5: R=2, nw=12, final
+    # level nw=16, tile_rows=64 — PyramidConfig/match_hierarchical_pallas)
+    from stepth_tpu.config import PyramidConfig as _PC
+
+    _pyr_defaults = _PC()
     max_base = 16
     for lvl in (2, 1, 0):
         h, w = shapes[lvl]
         max_base *= 2
+        r_lvl = _pyr_defaults.final_radius if lvl == 0 else _pyr_defaults.refine_radius
+        nw_lvl = (
+            _pyr_defaults.final_windows if lvl == 0 else _pyr_defaults.refine_windows
+        )
         prior = jnp.full((h, w), 12.0, jnp.float32)
         total += timeit(
-            f"refine level {lvl} {h}x{w} base<={max_base} R=4",
-            lambda l, r, p, mb=max_base: pallas_refine.refine_level(
-                l, r, p, cfg, 4, mb, 32
+            f"refine level {lvl} {h}x{w} base<={max_base} R={r_lvl} nw<={nw_lvl}",
+            lambda l, r, p, mb=max_base, rl=r_lvl, nwl=nw_lvl:
+            pallas_refine.refine_level(
+                l, r, p, cfg, rl, mb, 64, max_windows=nwl
             ),
             imgs[lvl][0],
             imgs[lvl][1],

@@ -67,18 +67,49 @@ class PyramidConfig:
     (SURVEY.md §2.1 C7 recast)."""
 
     levels: int = 4
-    # Disparity search half-window around the upsampled coarse estimate, per level.
-    refine_radius: int = 4
+    # Disparity search half-window around the upsampled coarse estimate, per
+    # level. A refine window covers 2R+1 disparities with 2R+1 offsets, so
+    # coverage-per-offset is independent of R: narrow windows cut the flat
+    # per-offset kernel cost (the round-4 profile put level 0 at 68% of the
+    # frame at R=4) while contested tiles keep their span through a
+    # proportionally deeper multi-window cover — and the narrower windows
+    # also sit closer to the true disparity modes at depth edges, so the
+    # round-5 R=2 default is BOTH ~26% faster on the smooth 1080p headline
+    # (1.75 → 1.30 ms) and ~2x more accurate on the edge scenes
+    # (box EPE 1.02 → 0.54, edge_bad3 19.3 → 13.9%; ellipses EPE 1.20 → 0.44)
+    # than round 4's R=4/nw=6 (tools/refine_frontier.py, v5e, tile_rows=64).
+    refine_radius: int = 2
     coarsest_disparities: int = 32
     # Cap on adaptive per-tile base windows in the Pallas refiner: tiles whose
     # prior spans a disparity discontinuity search up to this many base ± R
-    # windows; 1 restores the round-2 single-base-per-tile kernel.
-    # Default 6 from the measured round-4 frontier (tools/refine_frontier.py,
-    # 1080p eff-D=128, tile_rows=64 on v5e): 6 windows cost the same as 4 on
-    # smooth content (1.72 vs 1.74 ms/frame — skipped tiles are free) and
-    # +0.13 ms on the edge-heavy box scene, while halving bad3 on both
-    # ground-truth edge scenes (box 5.11→3.15 %, ellipses 7.94→3.23 %).
-    refine_windows: int = 6
+    # windows; 1 restores the round-2 single-base-per-tile kernel. 12 at R=2
+    # costs the same as round 4's 6 at R=4 (the greedy cover needs ~2x the
+    # windows to span the same range at half the radius; skipped windows are
+    # free on smooth tiles).
+    refine_windows: int = 12
+    # Final (full-resolution) level overrides; None inherits refine_radius /
+    # refine_windows. The final level sees the steepest per-tile disparity
+    # spans, and its extra window slots are nearly free on smooth content:
+    # 16 saturates the cover at 1080p/D=128 (W20 measures bit-identical
+    # accuracy) for +0.05 ms over 12 while halving edge EPE vs W12.
+    refine_radius_final: Optional[int] = None
+    refine_windows_final: Optional[int] = 16
+
+    @property
+    def final_radius(self) -> int:
+        return (
+            self.refine_radius
+            if self.refine_radius_final is None
+            else self.refine_radius_final
+        )
+
+    @property
+    def final_windows(self) -> int:
+        return (
+            self.refine_windows
+            if self.refine_windows_final is None
+            else self.refine_windows_final
+        )
 
 
 @dataclasses.dataclass(frozen=True)

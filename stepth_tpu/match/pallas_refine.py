@@ -662,9 +662,11 @@ def match_hierarchical_pallas(
         prior = pyr_mod.upsample2_disparity(disp, h, w)
         max_base = max_base * 2
         want_lr = lr_check and lvl == 0  # dR only needed at full resolution
+        r_lvl = pyr.final_radius if lvl == 0 else pyr.refine_radius
+        nw_lvl = pyr.final_windows if lvl == 0 else pyr.refine_windows
         out = refine_level(
-            lefts[lvl], rights[lvl], prior, cfg, pyr.refine_radius, max_base,
-            tile_rows, interpret, lr=want_lr, max_windows=pyr.refine_windows,
+            lefts[lvl], rights[lvl], prior, cfg, r_lvl, max_base,
+            tile_rows, interpret, lr=want_lr, max_windows=nw_lvl,
         )
         disp = out[0] if want_lr else out
         if want_lr:
@@ -757,8 +759,8 @@ def match_temporal_pallas(
         lg = dense.grayscale(l)
         rg = dense.grayscale(r)
         out = refine_level(
-            lg, rg, prior, cfg, pyr.refine_radius, max_base,
-            tile_rows, interpret, lr=lr_check, max_windows=pyr.refine_windows,
+            lg, rg, prior, cfg, pyr.final_radius, max_base,
+            tile_rows, interpret, lr=lr_check, max_windows=pyr.final_windows,
         )
         if lr_check:
             return _post(out[0], out[1])

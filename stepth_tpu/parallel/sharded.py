@@ -400,11 +400,13 @@ def match_hierarchical_sharded(
             r_ext = _with_halo(rights[lvl], halo, "tile", edge="replicate")
             p_ext = _with_halo(prior, halo, "tile", edge="replicate")
             want_lr = lr_check and lvl == 0
+            r_lvl = pyr.final_radius if lvl == 0 else pyr.refine_radius
+            nw_lvl = pyr.final_windows if lvl == 0 else pyr.refine_windows
             out = pallas_refine.refine_level(
-                l_ext, r_ext, p_ext, cfg, pyr.refine_radius, max_base,
+                l_ext, r_ext, p_ext, cfg, r_lvl, max_base,
                 tr, interpret,
                 g_row0=idx * th_l - halo, g_h=h_l,
-                lr=want_lr, max_windows=pyr.refine_windows,
+                lr=want_lr, max_windows=nw_lvl,
             )
             d_full = out[0] if want_lr else out
             disp = d_full[halo : halo + th_l]
@@ -564,9 +566,9 @@ def match_temporal_sharded(
         r_ext = _with_halo(rg, halo, "tile", edge="replicate")
         p_ext = _with_halo(p_blk, halo, "tile", edge="replicate")
         out = pallas_refine.refine_level(
-            l_ext, r_ext, p_ext, cfg, pyr.refine_radius, max_base,
+            l_ext, r_ext, p_ext, cfg, pyr.final_radius, max_base,
             tr, interpret, g_row0=idx * th - halo, g_h=h,
-            lr=lr_check, max_windows=pyr.refine_windows,
+            lr=lr_check, max_windows=pyr.final_windows,
         )
         d_full = out[0] if lr_check else out
         disp = d_full[halo : halo + th]

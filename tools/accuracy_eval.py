@@ -69,8 +69,9 @@ def main() -> int:
     h, w, dmax, levels, coarsest = SIZES[args.size]
     match = MatchConfig(num_disparities=dmax, window=args.window,
                         cost=args.cost)
-    pyr = PyramidConfig(levels=levels, refine_radius=4,
-                        coarsest_disparities=coarsest)
+    # radius/windows left at the PyramidConfig defaults so the table always
+    # scores what the framework ships (round 5: R=2, nw=12/16-final)
+    pyr = PyramidConfig(levels=levels, coarsest_disparities=coarsest)
     assert coarsest * 2 ** (levels - 1) >= dmax
 
     scene_names = (

@@ -35,6 +35,14 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--windows", default="1,2,4,6")
     ap.add_argument("--tile-rows", default="32,64")
+    ap.add_argument(
+        "--final", default=None,
+        help="comma-separated R:NW pairs for the final level, e.g. "
+        "'4:6,3:8,2:10' — sweeps refine_radius_final/refine_windows_final "
+        "instead of the nw sweep (uses the first --windows value as the "
+        "coarse-level nw)")
+    ap.add_argument("--radius", type=int, default=4,
+                    help="refine_radius for the non-final levels")
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
 
@@ -69,11 +77,20 @@ def main() -> int:
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
     rows = []
+    if args.final:
+        combos = []
+        nw0 = int(args.windows.split(",")[0])
+        for pair in args.final.split(","):
+            rf, nwf = (int(x) for x in pair.split(":"))
+            combos.append((nw0, rf, nwf))
+    else:
+        combos = [(int(x), None, None) for x in args.windows.split(",")]
     for tr in [int(x) for x in args.tile_rows.split(",")]:
-        for nw in [int(x) for x in args.windows.split(",")]:
+        for nw, rfin, nwfin in combos:
             pyr = PyramidConfig(
-                levels=4, refine_radius=4, coarsest_disparities=16,
+                levels=4, refine_radius=args.radius, coarsest_disparities=16,
                 refine_windows=nw,
+                refine_radius_final=rfin, refine_windows_final=nwfin,
             )
 
             @jax.jit
@@ -108,6 +125,10 @@ def main() -> int:
                 file=sys.stderr,
             )
             row = {"nw": nw, "tr": tr}
+            if rfin is not None:
+                row["final"] = f"R{rfin}xW{nwfin}"
+            if args.radius != 4:
+                row["final"] = row.get("final", "") + f"(allR{args.radius})"
             for name in ("smooth", "box"):
                 throughput(*pairs[name], reps=1)  # warm both trip counts
                 row[f"{name}_ms"] = throughput(*pairs[name], reps=args.reps)
@@ -120,12 +141,14 @@ def main() -> int:
             rows.append(row)
             print(f"[frontier] {row}", file=sys.stderr)
 
-    print("| nw | tile_rows | smooth ms | box ms | box bad3 | box edge_bad3 |"
+    print("| nw | final | tile_rows | smooth ms | box ms | box bad3 |"
+          " box edge_bad3 |"
           " box EPE | ell bad3 | ell edge_bad3 | ell EPE |")
-    print("|---|---|---|---|---|---|---|---|---|---|")
+    print("|---|---|---|---|---|---|---|---|---|---|---|")
     for r in rows:
         print(
-            f"| {r['nw']} | {r['tr']} | {r['smooth_ms']:.3f} | "
+            f"| {r['nw']} | {r.get('final', '-')} | {r['tr']} |"
+            f" {r['smooth_ms']:.3f} | "
             f"{r['box_ms']:.3f} | {r['box_bad3']*100:.2f}% | "
             f"{r['box_edge_bad3']*100:.2f}% | {r['box_epe']:.3f} | "
             f"{r['ellipses_bad3']*100:.2f}% | "
