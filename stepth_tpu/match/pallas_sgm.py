@@ -69,6 +69,7 @@ def _default_interpret(interpret: Optional[bool]) -> bool:
 
 
 def _volume_kernel(
+    g_row0_ref,
     l_hbm,
     r_hbm,
     out_ref,
@@ -87,6 +88,7 @@ def _volume_kernel(
     win,
     nplanes,
     squared,
+    g_h=None,
 ):
     i = pl.program_id(0)  # row tile
     j = pl.program_id(1)  # disparity block
@@ -113,6 +115,12 @@ def _volume_kernel(
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
     lrow = start + rows - RV
     vz = (lrow >= 0) & (lrow < Hr)
+    if g_h is not None:
+        # row shard of a larger image: also zero rows outside the GLOBAL
+        # image window, so halo/replicated rows at true borders contribute
+        # nothing to the box sums — identical to the unsharded Hr mask
+        g = g_row0_ref[0] + lrow
+        vz &= (g >= 0) & (g < g_h)
     zero_mask = vz.astype(jnp.float32) * (cols < Wr).astype(jnp.float32)
 
     for k in range(DB):
@@ -138,11 +146,17 @@ def _volume_kernel(
 
 
 def _aggregated_volume(
-    lg, rg, cfg: MatchConfig, tile_rows: int, interpret: bool, dtype=jnp.float32
+    lg, rg, cfg: MatchConfig, tile_rows: int, interpret: bool,
+    dtype=jnp.float32, g_row0=0, g_h=None,
 ):
     """Padded box-aggregated volume ``[D, hp, wp]`` (``dtype``) plus the padded
     dims. Same padding contract as :func:`pallas_dense.raw_match`, except ``hp``
-    is rounded to 128 so both volume axes can sit on TPU lanes in the scans."""
+    is rounded to 128 so both volume axes can sit on TPU lanes in the scans.
+
+    ``g_row0``/``g_h``: global row window when ``lg``/``rg`` are a
+    halo-extended row shard of a larger image (``g_row0`` may be traced);
+    out-of-window rows contribute zero to the box sums, exactly like the
+    unsharded builder's own border mask."""
     h, w = lg.shape
     D = cfg.num_disparities
     RV = _round_up(cfg.window // 2, 8)
@@ -181,11 +195,14 @@ def _aggregated_volume(
         win=cfg.window,
         nplanes=nplanes,
         squared=cfg.cost == "ssd",
+        g_h=g_h,
     )
+    g_row0_arr = jnp.asarray(g_row0, jnp.int32).reshape(1)
     vol = pl.pallas_call(
         kern,
         grid=(hp // TH, D // DB),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
@@ -199,7 +216,7 @@ def _aggregated_volume(
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(lg_p, rg_p)
+    )(g_row0_arr, lg_p, rg_p)
     return vol, (h, w, hp, wp)
 
 
@@ -365,6 +382,147 @@ def _scan_direction(
         input_output_aliases={} if first else {1: 0},
         interpret=interpret,
     )(*operands)
+
+
+def _scan_kernel_carry(
+    *refs, BS, D, TT, S_real, T_real, p1, p2, reverse, shift, first
+):
+    """:func:`_scan_kernel` with carry I/O for the sharded relay: the scan
+    seeds from ``cin_ref`` (the upstream shard's final carry) instead of
+    zeros, and emits its own final carry to ``cout_ref`` — everything else is
+    the identical recurrence, so a seeded local scan reproduces the
+    continuous unsharded scan bit-for-bit on its rows."""
+    if first:
+        v_ref, cin_ref, out_ref, cout_ref, carry = refs
+        acc_ref = None
+    else:
+        v_ref, acc_ref, cin_ref, out_ref, cout_ref, carry = refs
+    t = pl.program_id(0)
+    j = pl.program_id(1)
+    ns = pl.num_programs(1)
+    zero = 0.0
+
+    @pl.when(j == 0)
+    def _init():
+        carry[:] = cin_ref[...]
+
+    tcol = jax.lax.broadcasted_iota(jnp.int32, (1, TT), 1) + t * TT
+    tmask = tcol < T_real
+    drow = jax.lax.broadcasted_iota(jnp.int32, (D, 1), 0)
+    up_edge = drow == 0
+    dn_edge = drow == D - 1
+
+    blk = (ns - 1 - j) if reverse else j
+    for k in range(BS):
+        idx = BS - 1 - k if reverse else k
+        s = blk * BS + idx
+        prev = carry[:]
+        if shift > 0:
+            prev = pltpu.roll(prev, shift, axis=1)
+            prev = jnp.where(tcol - t * TT < shift, zero, prev)
+        elif shift < 0:
+            prev = pltpu.roll(prev, TT + shift, axis=1)
+            prev = jnp.where(tcol - t * TT >= TT + shift, zero, prev)
+        min_l = jnp.min(prev, axis=0, keepdims=True)
+        up = jnp.where(up_edge, _BIG, pltpu.roll(prev, 1, axis=0))
+        dn = jnp.where(dn_edge, _BIG, pltpu.roll(prev, D - 1, axis=0))
+        cand = jnp.minimum(prev, jnp.minimum(up, dn) + p1)
+        cand = jnp.minimum(cand, min_l + p2)
+        c = v_ref[:, idx, :].astype(jnp.float32)
+        L = (c + cand) - min_l
+        if shift != 0:
+            smask = tmask & (s < S_real)
+            L = jnp.where(smask, L, zero)
+        elif reverse:
+            L = jnp.where(s < S_real, L, zero)
+        if first:
+            out_ref[:, idx, :] = L.astype(out_ref.dtype)
+        else:
+            out_ref[:, idx, :] = (
+                acc_ref[:, idx, :].astype(jnp.float32) + L
+            ).astype(out_ref.dtype)
+        carry[:] = L
+
+    @pl.when(j == ns - 1)
+    def _fin():
+        cout_ref[...] = carry[:]
+
+
+def scan_direction_carry(
+    vol,
+    acc,
+    carry0,
+    *,
+    S_real: int,
+    T_real: int,
+    p1: float,
+    p2: float,
+    reverse: bool,
+    shift: int = 0,
+    interpret: bool = False,
+    step_block: int = 8,
+    lane_tile: Optional[int] = None,
+):
+    """One SGM direction over ``vol`` [D, S, T] seeded with ``carry0``
+    [D, T] (the upstream shard's final carry; zeros at a fresh start).
+    Returns ``(acc + L_dir, final_carry)`` — the relay primitive for
+    :mod:`stepth_tpu.parallel.sgm_pallas_sharded`. Same tiling/clamping
+    rules as :func:`_scan_direction`."""
+    D, S, T = vol.shape
+    BS = step_block if S % step_block == 0 else 8
+    if shift == 0:
+        cap = 512 if lane_tile is None else lane_tile
+        if cap < 128:
+            raise ValueError(
+                f"lane_tile cap must be >= 128 (one lane register), got {cap}"
+            )
+        TT = 128
+        for cand in range(cap // 128 * 128, 127, -128):
+            if T % cand == 0:
+                TT = cand
+                break
+    else:
+        TT = T
+    while BS > 1 and 6 * D * BS * TT * 4 > 14 * 1024 * 1024:
+        BS //= 2
+    while S % BS:
+        BS //= 2
+    first = acc is None
+    kern = functools.partial(
+        _scan_kernel_carry,
+        BS=BS,
+        D=D,
+        TT=TT,
+        S_real=S_real,
+        T_real=T_real,
+        p1=float(p1),
+        p2=float(p2),
+        reverse=reverse,
+        shift=shift,
+        first=first,
+    )
+    if reverse:
+        imap = lambda t, j, ns=S // BS: (0, ns - 1 - j, t)  # noqa: E731
+    else:
+        imap = lambda t, j: (0, j, t)  # noqa: E731
+    spec = pl.BlockSpec((D, BS, TT), imap)
+    cspec = pl.BlockSpec((D, TT), lambda t, j: (0, t))
+    in_specs = ([spec] if first else [spec, spec]) + [cspec]
+    operands = (vol, carry0) if first else (vol, acc, carry0)
+    out, cout = pl.pallas_call(
+        kern,
+        grid=(T // TT, S // BS),
+        in_specs=in_specs,
+        out_specs=[spec, cspec],
+        out_shape=[
+            jax.ShapeDtypeStruct((D, S, T), vol.dtype),
+            jax.ShapeDtypeStruct((D, T), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((D, TT), jnp.float32)],
+        input_output_aliases={} if first else {1: 0},
+        interpret=interpret,
+    )(*operands)
+    return out, cout
 
 
 def aggregate_pallas(

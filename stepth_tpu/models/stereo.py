@@ -179,6 +179,12 @@ class StereoModel:
             return lambda l, r: sgm_sharded.match_pair_sgm_sharded(
                 l, r, self.match, self.sgm, mesh
             )
+        if self.backend == "sgm-pallas":
+            from stepth_tpu.parallel import sgm_pallas_sharded
+
+            return lambda l, r, **kw: sgm_pallas_sharded.match_pair_sgm_pallas_sharded(
+                l, r, self.match, self.sgm, mesh, **kw
+            )
         raise NotImplementedError(f"sharded() unsupported for {self.backend}")
 
 

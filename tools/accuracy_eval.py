@@ -49,6 +49,14 @@ def main() -> int:
                     help="comma list; default: all scene families")
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--window", type=int, default=9)
+    ap.add_argument("--texture", choices=("procedural", "photo"),
+                    default="procedural",
+                    help="'photo' textures every layer with crops of the "
+                    "reference's bundled photographs (real image "
+                    "statistics, exact GT)")
+    ap.add_argument("--jpeg", type=int, default=None,
+                    help="JPEG-recompress the right view at this quality "
+                    "(camera-stream degradation)")
     ap.add_argument("--cost", default="sad", choices=("sad", "ssd", "census"))
     ap.add_argument("--lr", action=argparse.BooleanOptionalAction, default=True,
                     help="LR consistency: non-pyramid backends switch via "
@@ -81,7 +89,8 @@ def main() -> int:
 
     print(f"platform={jax.default_backend()} size={args.size} "
           f"({h}x{w}, D={dmax}) window={args.window} cost={args.cost} "
-          f"pyramid={levels}lv/{coarsest}c")
+          f"pyramid={levels}lv/{coarsest}c texture={args.texture}"
+          + (f" jpeg={args.jpeg}" if args.jpeg else ""))
     hdr = (f"| {'scene':12s} | {'backend':20s} | {'EPE':>6s} | {'bad1':>6s} "
            f"| {'bad3':>6s} | {'edge3':>6s} | {'dens':>5s} | {'occ✓':>5s} |")
     print(hdr)
@@ -89,7 +98,8 @@ def main() -> int:
 
     failures = 0
     for name in scene_names:
-        sc = scenes.make_scene(name, h, w, dmax, seed=args.seed)
+        sc = scenes.make_scene(name, h, w, dmax, seed=args.seed,
+                               texture=args.texture, jpeg_right=args.jpeg)
         for backend in backends:
             t0 = time.time()
             try:
