@@ -3,6 +3,10 @@
 Synthetic rig; runs anywhere:
 
     python examples/mapping.py
+
+Production scale (1080p, K=8, measured throughput/accuracy on the chip):
+``python tools/mapping_bench.py --size 1080p`` — same pipeline with a
+consistent re-rendered 3D world and exact per-keyframe ground truth.
 """
 
 import os, sys
