@@ -17,7 +17,7 @@ from stepth_tpu.config import MatchConfig, PyramidConfig
 from stepth_tpu.parallel import comm_model as cm
 
 # measured single-chip device-throughput frame times (tpu_measure.log / BASELINE.md)
-FLAGSHIP_MS = 1.64  # 1080p hierarchical-pallas eff-D=128, refine_windows=6 (round 4)
+FLAGSHIP_MS = 1.30  # 1080p hierarchical-pallas eff-D=128, R=2/nw=12/16 defaults (round 5)
 SGM_MS = 15.3  # 1080p Pallas SGM D=64 4-dir, fused-WTA final scan (round 4)
 BA_MS_PER_LM = 309.0  # 128 cams / 65 536 pts / 1 048 576 obs, ms per LM iter
 
@@ -41,7 +41,7 @@ def main():
     grid = [(2, 1), (4, 1), (8, 1), (16, 2), (32, 4)]
 
     cfg = MatchConfig(num_disparities=128, window=9, cost="sad")
-    pyr = PyramidConfig(levels=4, refine_radius=4, coarsest_disparities=16)
+    pyr = PyramidConfig(levels=4, coarsest_disparities=16)
     show(lambda n: cm.comm_hierarchical_sharded(cfg, pyr, 1080, 1920, n),
          FLAGSHIP_MS, grid)
     show(lambda n: cm.comm_hierarchical_sharded(cfg, pyr, 1080, 1920, n,
