@@ -57,26 +57,40 @@ def auto_mesh(n_obs: int, devices=None) -> Optional[Mesh]:
     return Mesh(np.array(devs[:n]).reshape(1, n), ("_r", "data"))
 
 
-def _problem_fingerprint(problem: ba.BAProblem) -> str:
-    """Stable identity of the observation set: shapes plus a content hash of
-    the (cam_idx, pt_idx, uv, weight, intrinsics) arrays. Poses/points are the
-    *state* being optimized so they are excluded — the fingerprint must stay
-    fixed across segments of one solve."""
+def _problem_fingerprint(problem: ba.BAProblem):
+    """Identity of the observation set as ``(shape_fp, content_fp)``.
+
+    ``shape_fp`` covers shapes/dtypes and is always computable.
+    ``content_fp`` hashes the (cam_idx, pt_idx, uv, weight, intrinsics)
+    bytes — but only when every array is fully addressable: a multi-process
+    global array cannot be materialized host-side (``np.asarray`` raises),
+    and hashing a local shard would make the fingerprint topology-dependent
+    (a survivor resuming on a shrunken mesh must still match the checkpoint
+    its larger-topology run wrote). Poses/points are the *state* being
+    optimized so they are excluded — the fingerprint must stay fixed across
+    segments of one solve."""
     import hashlib
 
-    h = hashlib.sha256()
-    h.update(
-        f"{problem.poses.shape}|{problem.points.shape}|{problem.uv.shape}".encode()
-    )
-    for arr in (
+    obs = (
         problem.cam_idx,
         problem.pt_idx,
         problem.uv,
         problem.weight,
         problem.intrinsics,
+    )
+    hs = hashlib.sha256()
+    hs.update(f"{problem.poses.shape}|{problem.points.shape}".encode())
+    for arr in obs:
+        hs.update(f"{arr.shape}|{jnp.asarray(arr).dtype}".encode())
+    shape_fp = hs.hexdigest()[:16]
+    if any(
+        not getattr(arr, "is_fully_addressable", True) for arr in obs
     ):
-        h.update(np.ascontiguousarray(np.asarray(arr)).tobytes())
-    return h.hexdigest()[:16]
+        return shape_fp, None
+    hc = hashlib.sha256()
+    for arr in obs:
+        hc.update(np.ascontiguousarray(np.asarray(arr)).tobytes())
+    return shape_fp, hc.hexdigest()[:16]
 
 
 def solve_resumable(
@@ -116,18 +130,28 @@ def solve_resumable(
         "lm": jnp.float32(0),
         "cost": jnp.float32(0),
     }
-    fingerprint = _problem_fingerprint(problem)
+    shape_fp, content_fp = _problem_fingerprint(problem)
     start, lm = 0, lm_lambda0
     state: Optional[ba.BAState] = None
     meta = checkpoint.metadata(ckpt_path)
     # Resume only a checkpoint written for THIS problem: a stale file from a
     # different problem at the same path (matching iter counts) must not be
-    # silently restored. Old checkpoints without a fingerprint are rejected
-    # the same way (restart is always correct; wrong-state resume never is).
+    # silently restored. Shapes must always match; content hashes are
+    # compared when both sides have one (a multi-process run cannot compute
+    # one — see _problem_fingerprint — so a survivor resuming its own
+    # checkpoint on a shrunken mesh still matches on shapes). Old
+    # checkpoints without a fingerprint are rejected (restart is always
+    # correct; wrong-state resume never is).
+    stored_content = (meta or {}).get("fp_content")
     if (
         meta is not None
         and meta.get("total_iters") == iters
-        and meta.get("fingerprint") == fingerprint
+        and meta.get("fp_shape") == shape_fp
+        and (
+            stored_content is None
+            or content_fp is None
+            or stored_content == content_fp
+        )
     ):
         try:
             saved = checkpoint.restore(ckpt_path, like=like)
@@ -173,7 +197,8 @@ def solve_resumable(
                 "iter": done,
                 "total_iters": iters,
                 "n_devices": 1 if mesh is None else int(mesh.devices.size),
-                "fingerprint": fingerprint,
+                "fp_shape": shape_fp,
+                "fp_content": content_fp,
             },
         )
         if on_segment is not None:
