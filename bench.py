@@ -297,7 +297,7 @@ def main():
     # coarse-to-fine, all levels on Pallas kernels, effective 128-disparity
     # range (16 × 2^3)
     cfg = MatchConfig(num_disparities=128, window=9, cost="sad")
-    pyr = PyramidConfig(levels=4, refine_radius=4, coarsest_disparities=16)
+    pyr = PyramidConfig(levels=4, coarsest_disparities=16)
 
     left = jnp.asarray(left_np)
     right = jnp.asarray(right_np)
@@ -553,7 +553,7 @@ def bench_extra():
     from stepth_tpu.match import pallas_refine
 
     hcfg = MatchConfig(num_disparities=128, window=9, cost="sad")
-    hpyr = PyramidConfig(levels=4, refine_radius=4, coarsest_disparities=16)
+    hpyr = PyramidConfig(levels=4, coarsest_disparities=16)
 
     def hsgm_loop(n):
         def body(_, carry):
@@ -635,7 +635,7 @@ def bench_extra():
     from stepth_tpu.match import pallas_refine
 
     vcfg = MatchConfig(num_disparities=128, window=9, cost="sad")
-    vpyr = PyramidConfig(levels=4, refine_radius=4, coarsest_disparities=16)
+    vpyr = PyramidConfig(levels=4, coarsest_disparities=16)
     vh, vw = 1088, 1920
     n_frames = 24
     rng = np.random.default_rng(2)
@@ -719,7 +719,7 @@ def bench_extra():
     vm = StereoModel(
         backend="hierarchical-pallas",
         match=MatchConfig(num_disparities=128, window=9, cost="sad"),
-        pyramid=PyramidConfig(levels=4, refine_radius=4,
+        pyramid=PyramidConfig(levels=4,
                               coarsest_disparities=16),
     )
     run_vid = jax.jit(vm.video(keyframe_interval=8))
@@ -931,7 +931,7 @@ def bench_profile():
 
     from stepth_tpu.config import PyramidConfig
 
-    pyrc = PyramidConfig(levels=4, refine_radius=4, coarsest_disparities=16)
+    pyrc = PyramidConfig(levels=4, coarsest_disparities=16)
     timeit(
         "FULL hierarchical-pallas 1080p (device-loop)",
         lambda l, r: pallas_refine.match_hierarchical_pallas(

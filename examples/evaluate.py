@@ -33,7 +33,7 @@ left, right = make_pair(rng, 96, 256, shift)
 gt = np.full(left.shape, float(shift))
 
 match = MatchConfig(num_disparities=16, window=9)
-pyr = PyramidConfig(levels=3, refine_radius=4, coarsest_disparities=8)
+pyr = PyramidConfig(levels=3, coarsest_disparities=8)
 
 print(f"{'backend':22s} {'EPE':>7s} {'bad1':>7s} {'bad3':>7s}")
 for backend in (

@@ -50,7 +50,7 @@ from stepth_tpu.models import StereoModel
 model = StereoModel(
     backend="hierarchical-pallas",
     match=MatchConfig(num_disparities=16, window=9),
-    pyramid=PyramidConfig(levels=2, refine_radius=4, coarsest_disparities=8),
+    pyramid=PyramidConfig(levels=2, coarsest_disparities=8),
 )
 res = model.video(keyframe_interval=4)(lefts, rights)
 print("temporal-video disparity median:", float(jnp.median(res.disparity)))

@@ -119,7 +119,7 @@ backend = "hierarchical-pallas" if jax.default_backend() == "tpu" else "hierarch
 model = StereoModel(
     backend=backend,
     match=MatchConfig(num_disparities=64, window=9, cost="sad"),
-    pyramid=PyramidConfig(levels=3, refine_radius=4, coarsest_disparities=16),
+    pyramid=PyramidConfig(levels=3, coarsest_disparities=16),
 )
 res = model(rleft, rright)
 print(f"[3] rectified + dense {backend} match: median disparity "
