@@ -183,6 +183,45 @@ def main() -> int:
         ),
     )
 
+    # round 5: the carry-I/O scan kernel (the sharded-SGM relay primitive) —
+    # a seeded split scan must equal the continuous scan, compiled AND
+    # interpreted, in every direction/diagonal-shift combination
+    vol_s = jnp.asarray(rng.uniform(0, 50, (16, 32, 256)).astype(np.float32))
+    acc_s = jnp.asarray(rng.uniform(0, 10, (16, 32, 256)).astype(np.float32))
+
+    def carry_relay(interp):
+        outs = []
+        for rev in (False, True):
+            for sh in (0, 1, -1):
+                halves = [
+                    (vol_s[:, :16], acc_s[:, :16]),
+                    (vol_s[:, 16:], acc_s[:, 16:]),
+                ]
+                order = halves if not rev else halves[::-1]
+                c = jnp.zeros((16, 256), jnp.float32)
+                got = [None, None]
+                for i, (v, a) in enumerate(order):
+                    o, c = pallas_sgm.scan_direction_carry(
+                        v, a, c, reverse=rev, shift=sh, S_real=16,
+                        T_real=250, p1=4.0, p2=16.0, interpret=interp,
+                    )
+                    got[i] = o
+                outs.append(
+                    jnp.concatenate(got if not rev else got[::-1], axis=1)
+                )
+        return outs
+
+    check("sgm carry-relay scans (6 direction/shift combos)", carry_relay)
+
+    # round 5: narrow-window refine at the shipping defaults (R=2, nw final)
+    check(
+        "refine level (R=2 narrow windows, step prior, lr)",
+        lambda interp: pallas_refine.refine_level(
+            left, right, step_prior, MatchConfig(window=9), 2, 16,
+            interpret=interp, lr=True, max_windows=8,
+        ),
+    )
+
     if failures:
         print(f"FAILED: {failures}", file=sys.stderr)
         return 1
