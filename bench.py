@@ -383,6 +383,30 @@ def main():
     print(f"[bench] median disparity tpu={tpu_med:.2f} want=24", file=sys.stderr)
     partial["headline_fps"] = fps  # watchdog emits this if secondary rows stall
 
+    # The secondary rows below (edge scene + the production census+LR
+    # executable, a fresh multi-minute compile on a cold cache) run inside a
+    # try/finally whose finally IS the emit: the headline JSON survives
+    # SystemExit/KeyboardInterrupt/tunnel BaseErrors during them, restoring
+    # the round-3 guarantee that the headline prints once it exists. (The
+    # watchdog separately covers wall-clock overrun; nothing covers SIGKILL.)
+    try:
+        _secondary_rows(partial, throughput, H, W)
+    finally:
+        emit(fps, fps / baseline_fps)
+
+
+def _secondary_rows(partial, throughput, H, W):
+    import jax
+    import jax.numpy as jnp
+
+    from stepth_tpu.config import MatchConfig, PyramidConfig
+    from stepth_tpu.match import pallas_refine
+
+    left_np, right_np = make_pair(H, W)
+    left = jnp.asarray(left_np)
+    right = jnp.asarray(right_np)
+    pyr = PyramidConfig(levels=4, coarsest_disparities=16)
+
     # Edge-bearing scene (VERDICT r3 #3): the smooth headline texture lets
     # every tile take the single-window fast path; the box scene (layered
     # occlusion, disparity steps ≈ 0.3·dmax) exercises the multi-window
@@ -460,9 +484,6 @@ def main():
         partial["production"] = prod
     except Exception as e:  # noqa: BLE001
         print(f"[bench] production row skipped: {e}", file=sys.stderr)
-
-    # the driver's line: headline + the secondary rows measured above
-    emit(fps, fps / baseline_fps)
 
 
 def bench_extra():

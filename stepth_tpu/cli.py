@@ -102,7 +102,7 @@ def _cmd_video(args) -> int:
             names = sorted(
                 os.path.join(pat, n)
                 for n in os.listdir(pat)
-                if n.lower().endswith((".png", ".jpg", ".jpeg", ".npy"))
+                if n.lower().endswith((".png", ".jpg", ".jpeg"))
             )
         else:
             names = sorted(globmod.glob(pat))
@@ -135,12 +135,17 @@ def _cmd_video(args) -> int:
         from stepth_tpu.parallel import mesh as mesh_mod, sharded
 
         mesh = mesh_mod.make_mesh(data=1, tile=args.shard_tiles)
-        run = lambda ls, rs: sharded.match_temporal_sharded(  # noqa: E731
+        import jax
+
+        run = jax.jit(lambda ls, rs: sharded.match_temporal_sharded(  # noqa: E731
             ls, rs, match, pyr, mesh,
             keyframe_interval=args.keyframe_interval, lr_check=args.lr_check,
-        )
+        ))
     else:
-        run = model.video(keyframe_interval=args.keyframe_interval)
+        import jax
+
+        # one trace per distinct clip length (the full chunks share one)
+        run = jax.jit(model.video(keyframe_interval=args.keyframe_interval))
 
     def load_pair(i):
         return io.open_rgb(lefts[i]), io.open_rgb(rights[i])

@@ -82,18 +82,16 @@ class PyramidConfig:
     coarsest_disparities: int = 32
     # Cap on adaptive per-tile base windows in the Pallas refiner: tiles whose
     # prior spans a disparity discontinuity search up to this many base ± R
-    # windows; 1 restores the round-2 single-base-per-tile kernel. 12 at R=2
-    # costs the same as round 4's 6 at R=4 (the greedy cover needs ~2x the
-    # windows to span the same range at half the radius; skipped windows are
-    # free on smooth tiles).
-    refine_windows: int = 12
+    # windows; 1 restores the round-2 single-base-per-tile kernel. 16 at R=2
+    # saturates the 1080p/D=128 cover (W20 measures bit-identical accuracy)
+    # and costs the same as round 4's 6 at R=4 on smooth content — the greedy
+    # cover needs ~2x the windows to span the same range at half the radius,
+    # and windows beyond a tile's plan are pl.when-skipped for free.
+    refine_windows: int = 16
     # Final (full-resolution) level overrides; None inherits refine_radius /
-    # refine_windows. The final level sees the steepest per-tile disparity
-    # spans, and its extra window slots are nearly free on smooth content:
-    # 16 saturates the cover at 1080p/D=128 (W20 measures bit-identical
-    # accuracy) for +0.05 ms over 12 while halving edge EPE vs W12.
+    # refine_windows (so a user-tuned refine_windows applies at every level).
     refine_radius_final: Optional[int] = None
-    refine_windows_final: Optional[int] = 16
+    refine_windows_final: Optional[int] = None
 
     @property
     def final_radius(self) -> int:

@@ -397,6 +397,14 @@ def tile_windows_from_prior(
     t = prior.reshape(nr, tile_rows, nc, _TW)
     mean = t.mean(axis=(1, 3))
     b_mean = jnp.clip(jnp.round(mean), 0, max_base).astype(jnp.int32)
+    # The greedy ±radius interval cover of targets in [0, max_base] can never
+    # need more than ceil((max_base+1)/(2·radius+1)) windows (consecutive
+    # greedy centers are > 2·radius apart), so slots beyond that bound are
+    # provably dead — dropping them shrinks the kernel's static window unroll
+    # (a compile-size lever: K=16 at every level of every small test config
+    # pushed XLA's CPU backend into a compiler segfault) with zero semantic
+    # change.
+    max_windows = min(max_windows, -(-(max_base + 1) // (2 * radius + 1)))
     if max_windows <= 1:
         # K=2 with nw=1: the second slot never runs. NOTE: must be
         # broadcast_to, not stack([b, b]) — a duplicated-operand stack feeding

@@ -225,6 +225,40 @@ def _aggregated_volume(
 # ---------------------------------------------------------------------------
 
 
+def _plan_scan_tiling(D, S, T, *, shift, step_block, lane_tile):
+    """Shared BS/TT selection + scoped-VMEM clamp for the directional scan
+    kernels (:func:`_scan_direction` and :func:`scan_direction_carry` — one
+    copy so a tuning change cannot desynchronize the sharded exact mode's
+    bit-identical contract). See the call sites for the measured rationale."""
+    BS = step_block if S % step_block == 0 else 8
+    if shift == 0:
+        cap = 512 if lane_tile is None else lane_tile
+        if cap < 128:
+            raise ValueError(
+                f"lane_tile cap must be >= 128 (one lane register), got {cap}"
+            )
+        TT = 128
+        for cand in range(cap // 128 * 128, 127, -128):
+            if T % cand == 0:
+                TT = cand
+                break
+    else:
+        # the diagonal carry shift crosses tile boundaries, so T cannot tile;
+        # the caller picks the volume orientation with the smaller T
+        TT = T
+    # Scoped-VMEM clamp: the [D, BS, TT] in/acc/out blocks are double-buffered
+    # (~6 live copies); at TT = T (diagonals) the round-3 step_block=16
+    # default exceeds the 16 MB scoped limit (observed 27.3 MB at D=64,
+    # TT=1152 -> compile-time OOM, which silently broke 8-direction 1080p).
+    # Halve BS until the estimate fits — the sweep's 4-direction optimum is
+    # untouched because lane-tiled scans cap TT at lane_tile.
+    while BS > 1 and 6 * D * BS * TT * 4 > 14 * 1024 * 1024:
+        BS //= 2
+    while S % BS:
+        BS //= 2
+    return BS, TT
+
+
 def _scan_kernel(*refs, BS, D, TT, S_real, T_real, p1, p2, reverse, shift, first):
     # Layout note (measured, v5e): an alternative [S, D, T] volume layout
     # (scan axis as the outer block dim, so each step's slab is a
@@ -325,32 +359,9 @@ def _scan_direction(
     ``lane_tile`` caps the T-tile width: the largest 128-multiple divisor of
     ``T`` ≤ the cap is used (so one knob serves both scan orientations)."""
     D, S, T = vol.shape
-    BS = step_block if S % step_block == 0 else 8
-    if shift == 0:
-        cap = 512 if lane_tile is None else lane_tile
-        if cap < 128:
-            raise ValueError(
-                f"lane_tile cap must be >= 128 (one lane register), got {cap}"
-            )
-        TT = 128
-        for cand in range(cap // 128 * 128, 127, -128):
-            if T % cand == 0:
-                TT = cand
-                break
-    else:
-        # the diagonal carry shift crosses tile boundaries, so T cannot tile;
-        # the caller picks the volume orientation with the smaller T
-        TT = T
-    # Scoped-VMEM clamp: the [D, BS, TT] in/acc/out blocks are double-buffered
-    # (~6 live copies); at TT = T (diagonals) the round-3 step_block=16
-    # default exceeds the 16 MB scoped limit (observed 27.3 MB at D=64,
-    # TT=1152 → compile-time OOM, which silently broke 8-direction 1080p).
-    # Halve BS until the estimate fits — the sweep's 4-direction optimum is
-    # untouched because lane-tiled scans cap TT at lane_tile.
-    while BS > 1 and 6 * D * BS * TT * 4 > 14 * 1024 * 1024:
-        BS //= 2
-    while S % BS:
-        BS //= 2
+    BS, TT = _plan_scan_tiling(
+        D, S, T, shift=shift, step_block=step_block, lane_tile=lane_tile
+    )
     first = acc is None
     kern = functools.partial(
         _scan_kernel,
@@ -469,24 +480,9 @@ def scan_direction_carry(
     :mod:`stepth_tpu.parallel.sgm_pallas_sharded`. Same tiling/clamping
     rules as :func:`_scan_direction`."""
     D, S, T = vol.shape
-    BS = step_block if S % step_block == 0 else 8
-    if shift == 0:
-        cap = 512 if lane_tile is None else lane_tile
-        if cap < 128:
-            raise ValueError(
-                f"lane_tile cap must be >= 128 (one lane register), got {cap}"
-            )
-        TT = 128
-        for cand in range(cap // 128 * 128, 127, -128):
-            if T % cand == 0:
-                TT = cand
-                break
-    else:
-        TT = T
-    while BS > 1 and 6 * D * BS * TT * 4 > 14 * 1024 * 1024:
-        BS //= 2
-    while S % BS:
-        BS //= 2
+    BS, TT = _plan_scan_tiling(
+        D, S, T, shift=shift, step_block=step_block, lane_tile=lane_tile
+    )
     first = acc is None
     kern = functools.partial(
         _scan_kernel_carry,

@@ -87,10 +87,11 @@ def _refine_level(
     hp = -(-h // tile_rows) * tile_rows
     wp = -(-w // tw) * tw
     prior_p = jnp.pad(prior, ((0, hp - h), (0, wp - w)), mode="edge")
-    bases, nw = pallas_refine.tile_windows_from_prior(
-        prior_p, tile_rows, max_base, radius, max_windows
-    )
-    K = int(bases.shape[-1])
+    # tile_windows_from_prior's output contract: K = 2 when the effective cap
+    # is <= 1 (a never-run second slot), else the cap — which it clamps to
+    # the provable maximum cover size ceil((max_base+1)/(2R+1))
+    mw_eff = min(max_windows, -(-(max_base + 1) // (2 * radius + 1)))
+    K = 2 if mw_eff <= 1 else mw_eff
     kidx = jnp.arange(K)[None, None, :]
     # Four shifted tilings: pixels within the box-window radius of a tile
     # border aggregate costs across a base change (the Pallas kernel avoids

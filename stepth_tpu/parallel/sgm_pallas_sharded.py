@@ -101,8 +101,10 @@ def _exact_agg(vol, *, sgm, p1s, p2s, w_real, axis_name, interpret):
     if sgm.directions == 8:
         for rev, sh in ((False, 1), (False, -1), (True, 1), (True, -1)):
             acc = _relay_dir_pallas(vol, acc, reverse=rev, shift=sh, **rkw)
-    acc = _relay_dir_pallas(vol, acc, reverse=False, shift=0, **rkw)
-    acc = _relay_dir_pallas(vol, acc, reverse=True, shift=0, **rkw)
+    if sgm.directions >= 4:
+        # directions=2 is horizontals-only (row-local, no relay at all)
+        acc = _relay_dir_pallas(vol, acc, reverse=False, shift=0, **rkw)
+        acc = _relay_dir_pallas(vol, acc, reverse=True, shift=0, **rkw)
     return acc
 
 
@@ -146,6 +148,8 @@ def match_pair_sgm_pallas_sharded(
         halo = required_halo(cfg)
     if cfg.cost not in ("sad", "ssd", "census"):
         raise NotImplementedError(f"pallas sgm: cost {cfg.cost!r} unsupported")
+    if sgm.directions not in (2, 4, 8):
+        raise ValueError(f"directions must be 2, 4 or 8, got {sgm.directions}")
     left = jnp.asarray(left, jnp.float32)
     right = jnp.asarray(right, jnp.float32)
     h, w = left.shape[:2]
@@ -206,6 +210,11 @@ def _tile_entry(l_blk, r_blk, *, cfg, sgm, halo, wu, h_total, w_real, exact,
     p1s, p2s = sgm.p1 * scale, sgm.p2 * scale
 
     if exact:
+        # exact mode scans in f32 regardless of volume_dtype: the relayed
+        # carries are f32, and a bf16 accumulator would diverge from the
+        # f32 relay chain (the unsharded bf16 contract is bf16-close, not
+        # bit-exact, so this costs nothing semantically — only the volume
+        # memory saving is given back in exact mode; windowed mode keeps it)
         agg = _exact_agg(
             vol.astype(jnp.float32), sgm=sgm, p1s=p1s, p2s=p2s,
             w_real=w_real, axis_name=axis_name, interpret=interpret,

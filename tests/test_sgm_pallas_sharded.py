@@ -137,3 +137,20 @@ def test_model_sharded_dispatch(rng):
     np.testing.assert_array_equal(
         np.asarray(ref.disparity), np.asarray(res.disparity)
     )
+
+
+def test_exact_mode_2dir_horizontals_only(rng):
+    """directions=2 is horizontals-only: exact mode must NOT add the
+    vertical relay pair (review r5 finding — it used to aggregate 4
+    directions silently)."""
+    left, right = _pair(rng, h=32, w=96)
+    cfg = MatchConfig(num_disparities=16, window=5, lr_threshold=1.0)
+    sc = sgm.SGMConfig(directions=2)
+    ref = pallas_sgm.match_pair_sgm_pallas(left, right, cfg, sc, interpret=True)
+    m = mesh_mod.make_mesh(data=1, tile=2)
+    got = sgm_pallas_sharded.match_pair_sgm_pallas_sharded(
+        left, right, cfg, sc, mesh=m, exact=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref.disparity), np.asarray(got.disparity)
+    )

@@ -78,7 +78,7 @@ def main() -> int:
     match = MatchConfig(num_disparities=dmax, window=args.window,
                         cost=args.cost)
     # radius/windows left at the PyramidConfig defaults so the table always
-    # scores what the framework ships (round 5: R=2, nw=12/16-final)
+    # scores what the framework ships (round 5: R=2, nw=16)
     pyr = PyramidConfig(levels=levels, coarsest_disparities=coarsest)
     assert coarsest * 2 ** (levels - 1) >= dmax
 
