@@ -13,9 +13,12 @@ measured and reported on stderr for continuity with round 1.
 
 Extra configs (VGA dense, bundled-asset parity path) are reported on stderr so
 stdout stays a single JSON line for the driver. The one JSON line also carries
-two secondary fields measured every round: ``edge_fps`` (the same flagship on
-the edge-heavy box scene) and ``production`` (the documented deployment
-configuration, census cost + LR occlusion check, on both content classes).
+secondary fields measured every round: ``edge_fps`` (the same flagship on
+the edge-heavy box scene), ``production`` (the documented deployment
+configuration, census cost + LR occlusion check, on both content classes)
+and ``hier_sgm`` (the recommended default backend — SGM at the coarse
+level). If the wall-clock budget expires during the secondary rows, the
+completed headline is emitted without them (watchdog + try/finally).
 """
 
 from __future__ import annotations
