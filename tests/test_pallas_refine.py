@@ -135,3 +135,33 @@ def test_refine_level_right_disparity(rng):
     err = np.abs(np.asarray(d_r)[8:-8, 16:-16] - shift)
     assert np.median(err) <= 0.5
     assert (err <= 1.0).mean() > 0.9
+
+
+def test_window_plan_never_exceeds_cover_bound(rng):
+    """The round-5 K clamp is safe because the greedy ±R cover provably
+    needs at most ceil((max_base+1)/(2R+1)) windows: consecutive greedy
+    centers are > 2R apart in target space. Pin it on adversarial priors."""
+    import jax.numpy as jnp
+
+    from stepth_tpu.match import pallas_refine
+
+    for max_base, radius in ((16, 2), (64, 2), (32, 4), (128, 2)):
+        bound = -(-(max_base + 1) // (2 * radius + 1))
+        for trial in range(3):
+            prior = jnp.asarray(
+                rng.uniform(-5, max_base + 5, (32, 256)).astype(np.float32)
+            )
+            bases, nw = pallas_refine.tile_windows_from_prior(
+                prior, 16, max_base, radius, max_windows=64
+            )
+            assert int(jnp.max(nw)) <= bound, (max_base, radius, int(jnp.max(nw)))
+            # and the clamped call returns identical plans on its live slots
+            bases_c, nw_c = pallas_refine.tile_windows_from_prior(
+                prior, 16, max_base, radius, max_windows=16
+            )
+            k = min(bases_c.shape[-1], bases.shape[-1])
+            np.testing.assert_array_equal(np.asarray(nw), np.asarray(nw_c))
+            np.testing.assert_array_equal(
+                np.asarray(bases)[..., :k] * (np.arange(k) < np.asarray(nw)[..., None]),
+                np.asarray(bases_c)[..., :k] * (np.arange(k) < np.asarray(nw_c)[..., None]),
+            )

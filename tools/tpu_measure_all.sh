@@ -24,5 +24,14 @@ cd /root/repo || exit 1
   timeout 2400 python tools/ba_convergence.py
   echo "--- H2D transport floor (round 4) ---"
   timeout 600 python tools/transport_bench.py
+  echo "--- SGM warmup accuracy curve (round 5) ---"
+  timeout 2400 python tools/sgm_warmup_curve.py
+  echo "--- config-5 mapping at production scale (round 5) ---"
+  timeout 2400 python tools/mapping_bench.py --size 1080p
+  echo "--- on-TPU kernel regression incl. round-5 kernels ---"
+  timeout 2400 python tools/tpu_kernel_regression.py
+  echo "--- photo-textured accuracy tables (round 5) ---"
+  timeout 3000 python tools/accuracy_eval.py --size vga --texture photo --jpeg 87
+  timeout 3000 python tools/accuracy_eval.py --size vga --texture photo --jpeg 87 --cost census --backends pallas,hierarchical-pallas,hierarchical-sgm,sgm
   echo "=== done $(date -u +%FT%TZ) ==="
 } >> /root/repo/tpu_measure.log 2>&1
