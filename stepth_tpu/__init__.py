@@ -24,7 +24,7 @@ Layer map (SURVEY.md §7):
 from stepth_tpu import config
 from stepth_tpu.core.frame import MASK_FALSE, MASK_TRUE, DepthFrame, MaskFrame
 
-__version__ = "0.2.0"
+__version__ = "0.5.0"
 
 __all__ = [
     "DepthFrame",
