@@ -106,3 +106,27 @@ def test_cli_video_frame_count_mismatch(tmp_path, rng):
     io.save(str(rdir / "0.png"), img)
     with pytest.raises(SystemExit, match="mismatch"):
         cli.main(["video", str(ldir), str(rdir), str(tmp_path / "o")])
+
+
+def test_cli_video_sharded(tmp_path, rng):
+    """--shard-tiles N routes through the row-tile-sharded temporal twin on
+    the fake device mesh."""
+    h, w, shift, n = 64, 96, 3, 3
+    ldir, rdir = tmp_path / "ls", tmp_path / "rs"
+    ldir.mkdir(), rdir.mkdir()
+    base = rng.integers(0, 255, (h, w + shift, 3), dtype=np.uint8)
+    for i in range(n):
+        io.save(str(ldir / f"{i}.png"), base[:, :w])
+        io.save(str(rdir / f"{i}.png"), base[:, shift : shift + w])
+    out = tmp_path / "ds"
+    rc = cli.main([
+        "video", str(ldir), str(rdir), str(out),
+        "--disparities", "8", "--window", "5", "--levels", "2",
+        "--coarsest", "4", "--chunk", "3", "--format", "npz",
+        "--shard-tiles", "2",
+    ])
+    assert rc == 0
+    files = sorted(out.iterdir())
+    assert len(files) == n
+    dd = np.load(files[-1])["disparity"]
+    assert abs(np.median(dd[8:-8, 16:-16]) - shift) <= 1.0
